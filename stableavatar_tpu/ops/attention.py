@@ -1,0 +1,89 @@
+"""Unified attention API with ragged-key (`k_lens`) semantics.
+
+The reference funnels every attention call through a single wrapper that
+dispatches FlashAttention-3 -> FlashAttention-2 -> torch SDPA and emulates
+ragged batches by packing with cu_seqlens
+(`wan/models/wan_fantasy_transformer3d_1B.py:49-207`).  On TPU there is no
+separate "flash" library: XLA already emits a fused, online-softmax attention
+for `jax.nn.dot_product_attention`, and for the biggest DiT self-attention
+shapes we provide a hand-tiled Pallas kernel
+(`stableavatar_tpu/ops/flash_attention.py`).
+
+Ragged keys (`k_lens`) become a static-shaped length mask — no packing, no
+dynamic shapes, jit-friendly.
+
+Shapes follow the reference convention: q [B, Lq, N, D], k/v [B, Lk, N, D],
+output [B, Lq, N, D].
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    k_lens: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Fused scaled dot-product attention.
+
+    Args:
+      q: [B, Lq, N, D]
+      k, v: [B, Lk, N, D]
+      k_lens: optional [B] int32 — number of valid keys per batch row; keys at
+        positions >= k_lens[b] are masked out (reference `attention()` k_lens
+        semantics, `wan_fantasy_transformer3d_1B.py:163-171`).
+      scale: softmax scale; defaults to D**-0.5.
+      causal: causal masking (unused by the Wan models; kept for API parity).
+      backend: "auto" | "xla" | "pallas".
+
+    Returns: [B, Lq, N, D] in q.dtype.
+    """
+    if backend == "pallas":
+        from stableavatar_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, k_lens=k_lens, scale=scale, causal=causal)
+    if backend == "auto" and _use_pallas(q, k):
+        from stableavatar_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, k_lens=k_lens, scale=scale, causal=causal)
+    return _xla_attention(q, k, v, k_lens=k_lens, scale=scale, causal=causal)
+
+
+def _use_pallas(q: jnp.ndarray, k: jnp.ndarray) -> bool:
+    """Heuristic: use the Pallas kernel on TPU for large self-attention shapes
+    where tiling is profitable and shapes align to the lane width."""
+    if jax.default_backend() != "tpu":
+        return False
+    lq, lk, d = q.shape[1], k.shape[1], q.shape[3]
+    return lq >= 1024 and lk >= 1024 and d % 64 == 0
+
+
+def _xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    k_lens: Optional[jnp.ndarray],
+    scale: Optional[float],
+    causal: bool,
+) -> jnp.ndarray:
+    """XLA fused attention path (`jax.nn.dot_product_attention`)."""
+    return jax.nn.dot_product_attention(
+        q,
+        k,
+        v,
+        scale=scale,
+        is_causal=causal,
+        key_value_seq_lengths=k_lens,
+        implementation="xla",
+    )

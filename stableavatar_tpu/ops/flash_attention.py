@@ -1,0 +1,201 @@
+"""Blockwise (flash) attention forward kernel in Pallas for TPU.
+
+TPU-native replacement for the reference's external flash-attn 2/3 CUDA
+kernels (`wan/models/wan_fantasy_transformer3d_1B.py:49-207`).  The ragged
+`k_lens` semantics (keys beyond `k_lens[b]` ignored) are implemented with an
+iota length mask instead of cu_seqlens packing, keeping every shape static.
+
+Design (see pallas_guide.md):
+- grid = (batch*heads, q_blocks, k_blocks); the k-block axis is innermost so
+  the VMEM scratch accumulators (acc, running max m, running sum l) persist
+  across k blocks of one q block (double-buffered loads handled by Mosaic).
+- online softmax in fp32 on the VPU, q@k^T and p@v on the MXU with
+  `preferred_element_type=float32`.
+- head_dim 128 = one MXU/lane tile; block sizes default 512 rows.
+
+Backward: a custom_vjp re-runs the mathematically-identical XLA attention
+under `jax.vjp`, so training works out of the box; a fused Pallas backward is
+a later perf pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    klens_ref,  # scalar prefetch: [B] int32
+    q_ref,  # [1, BQ, D]
+    k_ref,  # [1, BK, D]
+    v_ref,  # [1, BK, D]
+    o_ref,  # [1, BQ, D]
+    acc_ref,  # [BQ, D] f32
+    m_ref,  # [BQ, 128] f32
+    l_ref,  # [BQ, 128] f32
+    *,
+    scale: float,
+    block_k: int,
+    num_heads: int,
+):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+
+    b = pl.program_id(0) // num_heads
+    klen = klens_ref[b]
+    col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < klen, s, NEG_INF)
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    correction = jnp.exp(m_prev - m_new)
+    l_new = correction * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:, :1] = m_new
+    l_ref[:, :1] = l_new
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_fwd_impl(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    k_lens: jnp.ndarray,
+    scale: float,
+    block_q: int,
+    block_k: int,
+) -> jnp.ndarray:
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+
+    pad_q = (-lq) % block_q
+    pad_k = (-lk) % block_k
+    qp = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+    lqp, lkp = lq + pad_q, lk + pad_k
+
+    # [B, L, N, D] -> [B*N, L, D]
+    def to_bh(x, l):
+        return x.transpose(0, 2, 1, 3).reshape(b * n, l, d)
+
+    qp, kp, vp = to_bh(qp, lqp), to_bh(kp, lkp), to_bh(vp, lkp)
+
+    grid = (b * n, lqp // block_q, lkp // block_k)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, block_k=block_k, num_heads=n
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
+                pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
+                pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, d), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * n, lqp, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * lqp * lkp * d,
+            bytes_accessed=2 * b * n * (lqp + 2 * lkp) * d,
+            transcendentals=b * n * lqp * lkp,
+        ),
+    )(k_lens.astype(jnp.int32), qp, kp, vp)
+
+    out = out.reshape(b, n, lqp, d).transpose(0, 2, 1, 3)
+    return out[:, :lq]
+
+
+def _reference_attention(q, k, v, k_lens, scale):
+    return jax.nn.dot_product_attention(
+        q, k, v, scale=scale, key_value_seq_lengths=k_lens, implementation="xla"
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, k_lens, scale, block_q, block_k):
+    return _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k)
+
+
+def _flash_fwd(q, k, v, k_lens, scale, block_q, block_k):
+    return _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k), (q, k, v, k_lens)
+
+
+def _flash_bwd(scale, block_q, block_k, res, g):
+    q, k, v, k_lens = res
+    _, vjp = jax.vjp(lambda q, k, v: _reference_attention(q, k, v, k_lens, scale), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    k_lens: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    block_q: int = 512,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    """Flash attention: q [B, Lq, N, D], k/v [B, Lk, N, D] -> [B, Lq, N, D]."""
+    if causal:
+        raise NotImplementedError("causal masking is not used by the Wan models")
+    b, _, _, d = q.shape
+    lk = k.shape[1]
+    if scale is None:
+        scale = d**-0.5
+    if k_lens is None:
+        k_lens = jnp.full((b,), lk, dtype=jnp.int32)
+    block_q = min(block_q, _round_up(q.shape[1], 128))
+    block_k = min(block_k, _round_up(lk, 128))
+    return _flash(q, k, v, k_lens, float(scale), block_q, block_k)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

@@ -1,0 +1,25 @@
+"""Test config: force an 8-device virtual CPU platform before JAX initializes.
+
+Multi-chip sharding tests run on this virtual mesh
+(`XLA_FLAGS=--xla_force_host_platform_device_count=8`), mirroring the
+driver's `dryrun_multichip` validation path.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Force CPU: the session environment pins JAX_PLATFORMS to the remote TPU
+# tunnel, which would make every test compile over RPC.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/stableavatar_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+# fp32 parity with the torch oracles (JAX CPU matmuls default to a reduced
+# precision that costs ~3 decimal digits)
+jax.config.update("jax_default_matmul_precision", "highest")
