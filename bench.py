@@ -1,0 +1,121 @@
+"""Benchmark: generated-video seconds per minute per chip, 1.3B @ 512x512.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Method: time the jitted CFG-triple DiT window step (the hot loop of the
+infinite pipeline: 21 latent frames = 21504 tokens at 512², batch 3) and the
+streaming VAE decode, then compose the end-to-end rate of the sliding-window
+pipeline: each 50-step sweep advances (21 - overlap) latent frames = 24 video
+frames at the default overlap 15 (`inference.sh:17-21`).
+
+vs_baseline compares against an A100 reference estimate for the same
+pipeline: ~4.2e14 DiT FLOPs/step (3x CFG) at 312 TFLOPs bf16 and ~40% MFU
+(torch SDPA path; the 1B reference force-disables flash-attn,
+`wan_fantasy_transformer3d_1B.py:45-46`) -> ~3.4 s/step -> ~0.34 video-sec
+per wallclock minute.  The reference publishes no throughput numbers
+(BASELINE.md), so this estimate is the comparison point.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+A100_REF_VIDEO_SEC_PER_MIN = 0.34  # estimated reference throughput (see above)
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL") == "1"
+
+    from stableavatar_tpu.config import WAN_1_3B, VAEConfig, DiTConfig
+    from stableavatar_tpu.models.dit import cast_params, dit_forward, init_dit
+    from stableavatar_tpu.models.vae import decode_video, init_vae
+
+    cfg = WAN_1_3B
+    vae_cfg = VAEConfig()
+    key = jax.random.PRNGKey(0)
+
+    if small:
+        cfg = DiTConfig(dim=128, ffn_dim=256, num_heads=8, num_layers=4,
+                        audio_proj_dim=128, vocal_num_heads=8)
+        f, lh, lw = 5, 16, 16
+        steps_timed = 2
+    else:
+        f, lh, lw = 21, 64, 64  # 512x512 -> 21504 tokens
+        steps_timed = 3
+
+    params = cast_params(init_dit(key, cfg), jnp.bfloat16)
+
+    la = 167  # wav2vec tokens for an 84-frame audio window
+    x = jnp.asarray(np.random.randn(3, 16, f, lh, lw), jnp.bfloat16)
+    t = jnp.full((3,), 500.0, jnp.float32)
+    text = jnp.asarray(np.random.randn(3, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    clip_fea = jnp.asarray(np.random.randn(3, cfg.clip_tokens, cfg.clip_dim), jnp.bfloat16)
+    y = jnp.asarray(np.random.randn(3, 20, f, lh, lw), jnp.bfloat16)
+    vocal = jnp.asarray(np.random.randn(1, la, cfg.audio_in_dim), jnp.bfloat16)
+
+    @jax.jit
+    def step(params, x, t, text, clip_fea, y, vocal):
+        return dit_forward(
+            params, cfg, x, t, text, clip_fea, y, vocal,
+            video_sample_n_frames=81, vocal_cfg_tile=True,
+        )
+
+    out = step(params, x, t, text, clip_fea, y, vocal)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(steps_timed):
+        out = step(params, x, t, text, clip_fea, y, vocal)
+    out.block_until_ready()
+    dit_step_s = (time.perf_counter() - t0) / steps_timed
+
+    # VAE decode: latent window -> frames
+    vae_params = init_vae(jax.random.PRNGKey(1), vae_cfg)
+    vae_params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if hasattr(a, "astype") else a, vae_params
+    )
+    zf = 5 if small else f
+    z = jnp.asarray(np.random.randn(1, vae_cfg.z_dim, zf, lh, lw), jnp.bfloat16)
+    dec = jax.jit(lambda p, z: decode_video(p, z, vae_cfg))
+    frames = dec(vae_params, z)
+    frames.block_until_ready()
+    t0 = time.perf_counter()
+    frames = dec(vae_params, z)
+    frames.block_until_ready()
+    vae_decode_s = time.perf_counter() - t0
+    n_frames = frames.shape[2]
+    vae_fps = n_frames / vae_decode_s
+
+    # end-to-end composition (default operating point, inference.sh):
+    # one 50-step sweep advances (21-15)=6 latent frames = 24 video frames.
+    num_steps = 50
+    overlap = 15
+    fpb = 21
+    adv_video_frames = (fpb - overlap) * 4
+    video_sec_per_sweep = adv_video_frames / 25.0
+    sweep_s = num_steps * dit_step_s + adv_video_frames / max(vae_fps, 1e-9)
+    video_sec_per_min = video_sec_per_sweep / sweep_s * 60.0
+
+    result = {
+        "metric": "video_sec_per_min_per_chip",
+        "value": round(video_sec_per_min, 4),
+        "unit": "video_s/min",
+        "vs_baseline": round(video_sec_per_min / A100_REF_VIDEO_SEC_PER_MIN, 3),
+        "detail": {
+            "dit_step_s": round(dit_step_s, 4),
+            "vae_decode_fps": round(vae_fps, 2),
+            "backend": jax.default_backend(),
+            "small": small,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

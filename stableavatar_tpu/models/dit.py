@@ -42,6 +42,7 @@ from stableavatar_tpu.models.vocal_projector import (
     init_vocal_projector,
     _linear,
 )
+from stableavatar_tpu.parallel.mesh import maybe_constrain
 
 
 def gelu_tanh(x):
@@ -153,7 +154,14 @@ def _self_attention(p, x, freqs: RopeFreqs, num_heads, eps):
     v = apply_linear(p["v"], x).reshape(b, l, num_heads, d)
     q = rope_apply(q, freqs).astype(x.dtype)
     k = rope_apply(k, freqs).astype(x.dtype)
+    # Ulysses-style SP: reshard tokens->heads for full-sequence attention;
+    # GSPMD compiles the reshard into an ICI all-to-all (replaces
+    # xFuserLongContextAttention, wan/dist/wan_xfuser.py:72-115).
+    q = maybe_constrain(q, "dp", None, "sp", None)
+    k = maybe_constrain(k, "dp", None, "sp", None)
+    v = maybe_constrain(v, "dp", None, "sp", None)
     out = attention(q, k, v)
+    out = maybe_constrain(out, "dp", "sp", None, None)
     return apply_linear(p["o"], out.reshape(b, l, dim))
 
 
@@ -324,6 +332,9 @@ def dit_forward(
 
     xin = jnp.concatenate([x, y.astype(dtype)], axis=1)
     tokens = apply_linear(params["patch_embedding"], patchify(xin, cfg.patch_size))
+    # activation sequence sharding (replaces the reference's token chunk +
+    # all-gather, wan_fantasy_transformer3d_1B.py:1017-1019,1150-1151)
+    tokens = maybe_constrain(tokens, "dp", "sp", None)
     L = tokens.shape[1]
 
     if freqs is None:

@@ -427,8 +427,8 @@ def encode_chunks(params, video, cfg: VAEConfig = VAEConfig()):
         # first-chunk caches for downsample3d have 1 frame; subsequent chunks
         # keep the same cache sizes, so the carry is shape-stable.
         caches, zs = jax.lax.scan(step, caches, chunks)
-        zs = jnp.moveaxis(zs, 0, 1)  # [B, n, 1, h, w, 2z]
-        zs = zs.reshape(b, n, *zs.shape[3:])
+        zs = jnp.moveaxis(zs, 0, 1)  # [B, n, fpc, h, w, 2z]
+        zs = zs.reshape(b, -1, *zs.shape[3:])
         z = jnp.concatenate([z0, zs], axis=1)
     else:
         z = z0

@@ -1,0 +1,239 @@
+"""Infinite-length sliding-window generation pipeline — the flagship.
+
+Re-designs `WanI2VTalkingInferenceLongPipeline.__call__`
+(`wan_inference_long_pipeline.py:540-806`) TPU-first:
+
+- the per-(timestep x window) wav2vec recompute of the reference
+  (`:727-729`) is hoisted: audio features are extracted ONCE per window and
+  reused across all sampling steps — identical math, ~50x fewer wav2vec
+  evaluations at 50 steps;
+- the window denoise (CFG triple -> DiT -> dual-CFG combine -> Euler step)
+  is one jitted function; all windows but the last share one compilation;
+- overlap cross-fade ramps (uniform / log, `:756-770`) are precomputed
+  constants; window writes are `dynamic_update_slice`s on device;
+- only latent-space buffers of the full duration live in HBM (16ch, /8
+  spatial, /4 temporal — ~50 MB/min at 512²), the DiT only ever sees one
+  window: constant activation memory for unbounded length.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stableavatar_tpu.models.dit import dit_forward
+from stableavatar_tpu.models.vae import decode_video
+from stableavatar_tpu.pipelines.common import (
+    WanModels,
+    encode_prompts,
+    extract_vocal_features,
+    guidance_combine_long,
+    prepare_conditioning,
+)
+from stableavatar_tpu.schedulers.flow_match import flow_match_timesteps
+
+
+def overlap_weights(n: int, scheme: str = "uniform") -> np.ndarray:
+    """Cross-fade ramp over the overlap region (`:756-770`): 0 -> 1 weights
+    for the NEW window (previous window gets 1-w)."""
+    if scheme == "uniform":
+        w = np.arange(n, dtype=np.float32) / max(n - 1, 1)
+    elif scheme == "log":
+        init = np.linspace(0.0, 1.0, n, dtype=np.float32)
+        init = np.log1p(init * (np.e - 1.0))
+        w = (init - init.min()) / (init.max() - init.min())
+    else:
+        raise ValueError(f"unknown overlapping_weight_scheme {scheme}")
+    return w
+
+
+def plan_windows(infer_length: int, frames_per_batch: int, overlap: int) -> List[Tuple[int, int]]:
+    """Static window schedule [(start, end)) replicating the reference inner
+    loop bounds (`:710-789`)."""
+    windows = []
+    index_start = 0
+    index_end = min(frames_per_batch, infer_length)
+    if frames_per_batch > infer_length:
+        return [(0, infer_length)]
+    while True:
+        windows.append((index_start, index_end))
+        if index_end == infer_length:
+            break
+        index_start = index_start + (frames_per_batch - overlap)
+        if index_start + frames_per_batch < infer_length:
+            index_end = index_start + frames_per_batch
+        else:
+            index_end = infer_length
+    return windows
+
+
+def plan_audio_slices(
+    windows, infer_length: int, samples_per_frame: int, total_samples: int
+) -> List[np.ndarray]:
+    """Per-window raw-sample indices with modular wrap (`:716-723`)."""
+    out = []
+    for wi, (s, e) in enumerate(windows):
+        if e == infer_length and wi == len(windows) - 1 and e * 4 * samples_per_frame >= total_samples:
+            idx = np.arange(s * 4 * samples_per_frame, total_samples)
+        else:
+            n = (e - s) * 4 * samples_per_frame
+            idx = np.arange(s * 4 * samples_per_frame, s * 4 * samples_per_frame + n)
+        out.append(np.mod(idx, total_samples))
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dit_cfg", "clip_length", "text_scale", "audio_scale"),
+    donate_argnums=(1,),
+)
+def _window_step(
+    params,
+    latents,  # [1, 16, f, h, w]
+    y,  # [3, 20, f, h, w]
+    text_ctx,  # [3, text_len, text_dim]
+    clip_ctx,  # [3, 257, 1280]
+    vocal_emb,  # [1, La, 768]
+    t,  # scalar timestep
+    sigma,
+    sigma_next,
+    dit_cfg,
+    clip_length: int,
+    text_scale: float,
+    audio_scale: float,
+):
+    """One flow-matching step on one window: CFG triple -> DiT -> combine ->
+    Euler update.  Donated latents buffer keeps HBM flat."""
+    lat3 = jnp.concatenate([latents] * 3, axis=0).astype(jnp.bfloat16)
+    tb = jnp.full((3,), t, dtype=jnp.float32)
+    noise_pred = dit_forward(
+        params,
+        dit_cfg,
+        lat3,
+        tb,
+        text_ctx,
+        clip_ctx,
+        y,
+        vocal_emb,
+        video_sample_n_frames=clip_length,
+        vocal_cfg_tile=True,
+    )
+    noise_pred = guidance_combine_long(noise_pred, text_scale, audio_scale)
+    new_lat = latents.astype(jnp.float32) + (sigma_next - sigma) * noise_pred
+    return new_lat.astype(jnp.bfloat16)
+
+
+@dataclasses.dataclass
+class LongPipelineOutput:
+    videos: np.ndarray  # [B, 3, T, H, W] in [0, 1]
+    latents: Optional[jnp.ndarray] = None
+
+
+def generate_long(
+    models: WanModels,
+    *,
+    ref_image,  # [1, 3, H, W] in [-1, 1] (numpy or jnp)
+    vocal_waveform,  # [S] raw 16 kHz samples (numpy)
+    prompt: str = "",
+    negative_prompt: str = "",
+    text_ctx: Optional[jnp.ndarray] = None,  # pre-encoded [3, text_len, text_dim]
+    num_inference_steps: int = 50,
+    text_guide_scale: float = 3.0,
+    audio_guide_scale: float = 5.0,
+    clip_length: int = 81,
+    overlap_window_length: int = 15,
+    overlapping_weight_scheme: str = "uniform",
+    fps: int = 25,
+    sr: int = 16000,
+    seed: int = 42,
+    shift: float = 5.0,
+    output_type: str = "numpy",
+) -> LongPipelineOutput:
+    """Audio-driven unbounded-length generation (reference §3.2 call stack)."""
+    ref_image = jnp.asarray(ref_image, dtype=jnp.float32)
+    h_img, w_img = ref_image.shape[-2:]
+
+    frames_per_batch = (clip_length - 1) // models.vae_cfg.temporal_compression_ratio + 1
+    samples_per_frame = int(sr / fps)
+    total_samples = int(np.shape(vocal_waveform)[0])
+    total_frames = int(total_samples / samples_per_frame)
+    infer_length = (total_frames - 1) // models.vae_cfg.temporal_compression_ratio + 1
+
+    sched = flow_match_timesteps(num_inference_steps, shift=shift)
+
+    lh = h_img // models.vae_cfg.spatial_compression_ratio
+    lw = w_img // models.vae_cfg.spatial_compression_ratio
+    key = jax.random.PRNGKey(seed)
+    latents_all = jax.random.normal(
+        key, (1, models.vae_cfg.z_dim, infer_length, lh, lw), dtype=jnp.float32
+    ).astype(jnp.bfloat16)
+
+    if text_ctx is None:
+        text_ctx = encode_prompts(models, prompt, negative_prompt)
+    clip_ctx, y_full = prepare_conditioning(models, ref_image, clip_length, cfg_batch=3)
+
+    windows = plan_windows(infer_length, frames_per_batch, overlap_window_length)
+    audio_slices = plan_audio_slices(windows, infer_length, samples_per_frame, total_samples)
+
+    # hoisted: one wav2vec evaluation per window, reused across all steps
+    wav = np.asarray(vocal_waveform, dtype=np.float32)
+    vocal_embs = [extract_vocal_features(models, wav[idx]) for idx in audio_slices]
+
+    ramp = None
+    if overlap_window_length > 0:
+        w = overlap_weights(overlap_window_length, overlapping_weight_scheme)
+        ramp = jnp.asarray(w)[None, None, :, None, None]
+
+    teacache = models.teacache
+    if teacache is not None:
+        teacache.reset()
+
+    for i in range(sched.num_steps):
+        t = sched.timesteps[i]
+        sigma, sigma_next = sched.sigmas[i], sched.sigmas[i + 1]
+        pred_latents = jnp.zeros_like(latents_all)
+        prev_end = None
+        for wi, (s, e) in enumerate(windows):
+            f = e - s
+            lat_win = jax.lax.dynamic_slice_in_dim(latents_all, s, f, axis=2)
+            y_win = y_full[:, :, :f]
+            new_lat = _window_step(
+                models.dit_params,
+                lat_win,
+                y_win,
+                text_ctx,
+                clip_ctx,
+                vocal_embs[wi],
+                t,
+                sigma,
+                sigma_next,
+                models.dit_cfg,
+                clip_length,
+                float(text_guide_scale),
+                float(audio_guide_scale),
+            )
+            if s != 0 and i != 0 and ramp is not None:
+                prev_tail = jax.lax.dynamic_slice_in_dim(
+                    pred_latents, prev_end - overlap_window_length,
+                    overlap_window_length, axis=2,
+                )
+                head = new_lat[:, :, :overlap_window_length]
+                blended = head * ramp.astype(head.dtype) + prev_tail * (1 - ramp).astype(head.dtype)
+                new_lat = jnp.concatenate([blended, new_lat[:, :, overlap_window_length:]], axis=2)
+            pred_latents = jax.lax.dynamic_update_slice_in_dim(pred_latents, new_lat, s, axis=2)
+            prev_end = e
+        latents_all = pred_latents
+
+    latents = latents_all.astype(jnp.float32)
+    if output_type == "latent":
+        return LongPipelineOutput(videos=None, latents=latents)
+
+    frames = decode_video(models.vae_params, latents, models.vae_cfg)
+    video = np.asarray(frames, dtype=np.float32) / 2.0 + 0.5
+    video = np.clip(video, 0.0, 1.0)
+    return LongPipelineOutput(videos=video, latents=latents)

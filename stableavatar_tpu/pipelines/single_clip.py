@@ -1,0 +1,130 @@
+"""Single-clip (81-frame) generation pipeline — validation-style.
+
+Mirrors `WanI2VFantasyPipeline.__call__`
+(`wan_inference_pipeline_fantasy.py:478-741`): one 81-frame clip, CFG text
+triple [neg, pos, pos], audio handled by the DiT's internal [0, v, v] tiling,
+and the swapped-scale dual-CFG combine (`:707-708`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stableavatar_tpu.models.dit import dit_forward
+from stableavatar_tpu.models.vae import decode_video
+from stableavatar_tpu.pipelines.common import (
+    WanModels,
+    encode_prompt_ids,
+    extract_vocal_features,
+    guidance_combine_single,
+    prepare_conditioning,
+)
+from stableavatar_tpu.schedulers.flow_match import flow_match_timesteps
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dit_cfg", "clip_length", "text_scale", "audio_scale"),
+    donate_argnums=(1,),
+)
+def _clip_step(
+    params,
+    latents,
+    y,
+    text_ctx,
+    clip_ctx,
+    vocal_emb,
+    t,
+    sigma,
+    sigma_next,
+    dit_cfg,
+    clip_length: int,
+    text_scale: float,
+    audio_scale: float,
+):
+    lat3 = jnp.concatenate([latents] * 3, axis=0).astype(jnp.bfloat16)
+    tb = jnp.full((3,), t, dtype=jnp.float32)
+    noise_pred = dit_forward(
+        params, dit_cfg, lat3, tb, text_ctx, clip_ctx, y, vocal_emb,
+        video_sample_n_frames=clip_length, vocal_cfg_tile=True,
+    )
+    noise_pred = guidance_combine_single(noise_pred, text_scale, audio_scale)
+    new_lat = latents.astype(jnp.float32) + (sigma_next - sigma) * noise_pred
+    return new_lat.astype(jnp.bfloat16)
+
+
+@dataclasses.dataclass
+class SingleClipOutput:
+    videos: Optional[np.ndarray]
+    latents: Optional[jnp.ndarray] = None
+
+
+def generate_single_clip(
+    models: WanModels,
+    *,
+    ref_image,  # [1, 3, H, W] in [-1, 1]
+    vocal_waveform,  # [S] raw 16 kHz samples
+    prompt_ids=None,  # ([L], [L]) tokenized positive prompt
+    negative_prompt_ids=None,
+    text_ctx: Optional[jnp.ndarray] = None,  # [3, text_len, text_dim] override
+    num_inference_steps: int = 50,
+    prompt_cfg_scale: float = 3.0,
+    audio_cfg_scale: float = 5.0,
+    clip_length: int = 81,
+    seed: int = 42,
+    shift: float = 5.0,
+    output_type: str = "numpy",
+) -> SingleClipOutput:
+    ref_image = jnp.asarray(ref_image, dtype=jnp.float32)
+    h_img, w_img = ref_image.shape[-2:]
+    tl = (clip_length - 1) // models.vae_cfg.temporal_compression_ratio + 1
+
+    sched = flow_match_timesteps(num_inference_steps, shift=shift)
+
+    lh = h_img // models.vae_cfg.spatial_compression_ratio
+    lw = w_img // models.vae_cfg.spatial_compression_ratio
+    key = jax.random.PRNGKey(seed)
+    latents = jax.random.normal(
+        key, (1, models.vae_cfg.z_dim, tl, lh, lw), dtype=jnp.float32
+    ).astype(jnp.bfloat16)
+
+    if text_ctx is None:
+        # CFG triple [neg, pos, pos] (wan_inference_pipeline_fantasy.py:565)
+        ids_p, mask_p = prompt_ids
+        ids_n, mask_n = negative_prompt_ids
+        ids = jnp.asarray(np.stack([ids_n, ids_p, ids_p]))
+        mask = jnp.asarray(np.stack([mask_n, mask_p, mask_p]))
+        text_ctx = encode_prompt_ids(models, ids, mask)
+
+    clip_ctx, y = prepare_conditioning(models, ref_image, clip_length, cfg_batch=3)
+    vocal_emb = extract_vocal_features(models, np.asarray(vocal_waveform, np.float32))
+
+    for i in range(sched.num_steps):
+        latents = _clip_step(
+            models.dit_params,
+            latents,
+            y,
+            text_ctx,
+            clip_ctx,
+            vocal_emb,
+            sched.timesteps[i],
+            sched.sigmas[i],
+            sched.sigmas[i + 1],
+            models.dit_cfg,
+            clip_length,
+            float(prompt_cfg_scale),
+            float(audio_cfg_scale),
+        )
+
+    latents = latents.astype(jnp.float32)
+    if output_type == "latent":
+        return SingleClipOutput(videos=None, latents=latents)
+    frames = decode_video(models.vae_params, latents, models.vae_cfg)
+    video = np.clip(np.asarray(frames, np.float32) / 2.0 + 0.5, 0.0, 1.0)
+    return SingleClipOutput(videos=video, latents=latents)

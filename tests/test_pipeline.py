@@ -1,0 +1,181 @@
+"""End-to-end pipeline tests at tiny scale: window planning, stitching
+coverage, and a full generate_long() run through every model."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stableavatar_tpu.config import (
+    CLIPConfig,
+    DiTConfig,
+    T5Config,
+    VAEConfig,
+    Wav2Vec2Config,
+)
+from stableavatar_tpu.pipelines.long import (
+    generate_long,
+    overlap_weights,
+    plan_audio_slices,
+    plan_windows,
+)
+
+
+def test_plan_windows_covers_every_index_once_per_sweep():
+    for infer_length, fpb, ov in [(21, 21, 15), (40, 21, 15), (75, 21, 10), (5, 3, 1)]:
+        windows = plan_windows(infer_length, fpb, ov)
+        covered = np.zeros(infer_length, dtype=int)
+        for s, e in windows:
+            assert e <= infer_length
+            covered[s:e] += 1
+        assert (covered >= 1).all(), (infer_length, fpb, ov, covered)
+        # all windows are full-size except possibly the last
+        for s, e in windows[:-1]:
+            assert e - s == fpb
+        # consecutive windows overlap by >= ov (the final window may overlap more)
+        for (s1, e1), (s2, e2) in zip(windows, windows[1:]):
+            assert e1 - s2 >= ov
+
+
+def test_plan_windows_single_window():
+    assert plan_windows(21, 21, 15) == [(0, 21)]
+
+
+def test_overlap_weights_schemes():
+    for scheme in ("uniform", "log"):
+        w = overlap_weights(10, scheme)
+        assert w[0] == 0.0 and w[-1] == 1.0
+        assert (np.diff(w) >= 0).all()
+
+
+def test_plan_audio_slices_wraps_modularly():
+    windows = [(0, 3), (2, 5)]
+    slices = plan_audio_slices(windows, 5, samples_per_frame=4, total_samples=70)
+    # first window: frames 0..3 -> 3*4 video frames -> 48 samples
+    assert len(slices[0]) == 48
+    assert slices[0][0] == 0
+    # last window starts at latent 2 -> sample 2*4*4=32, runs to total_samples
+    assert slices[1][0] == 32
+    assert slices[1][-1] == 69
+
+
+# --- tiny end-to-end ---
+
+VAE_E2E = VAEConfig(
+    dim=4,
+    z_dim=4,
+    dim_mult=(1, 2, 2),
+    num_res_blocks=1,
+    temporal_downsample=(True, True),
+    temporal_compression_ratio=4,
+    spatial_compression_ratio=4,
+    latent_mean=(0.0,) * 4,
+    latent_std=(1.0,) * 4,
+)
+
+DIT_E2E = DiTConfig(
+    dim=32,
+    ffn_dim=64,
+    freq_dim=16,
+    text_dim=32,
+    in_dim=12,  # z(4) + mask(4) + masked latents(4)
+    out_dim=4,
+    num_heads=4,
+    num_layers=2,
+    text_len=16,
+    clip_tokens=5,
+    clip_dim=32,
+    audio_in_dim=16,
+    audio_proj_dim=32,
+    vocal_num_heads=4,
+)
+
+T5_E2E = T5Config(vocab=64, dim=32, dim_attn=32, dim_ffn=64, num_heads=4, num_layers=2, text_len=16)
+CLIP_E2E = CLIPConfig(image_size=28, patch_size=14, vision_dim=32, vision_heads=2, vision_layers=2)
+W2V_E2E = Wav2Vec2Config(hidden_size=16, num_layers=2, num_heads=2, ffn_dim=32,
+                         conv_dims=(8,) * 7, num_conv_pos_embeddings=16,
+                         num_conv_pos_embedding_groups=4)
+
+
+@pytest.fixture(scope="module")
+def tiny_models():
+    from stableavatar_tpu.models.clip import init_clip_visual
+    from stableavatar_tpu.models.dit import init_dit
+    from stableavatar_tpu.models.t5 import init_t5
+    from stableavatar_tpu.models.vae import init_vae
+    from stableavatar_tpu.models.wav2vec import init_wav2vec2
+    from stableavatar_tpu.pipelines.common import WanModels
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 5)
+
+    def tok(prompt):
+        ids = np.zeros(16, dtype=np.int32)
+        mask = np.zeros(16, dtype=np.int32)
+        toks = [ord(c) % 60 for c in prompt][:15]
+        ids[: len(toks)] = toks
+        ids[len(toks)] = 1
+        mask[: len(toks) + 1] = 1
+        return ids, mask
+
+    return WanModels(
+        dit_params=init_dit(ks[0], DIT_E2E),
+        dit_cfg=DIT_E2E,
+        vae_params=init_vae(ks[1], VAE_E2E),
+        vae_cfg=VAE_E2E,
+        t5_params=init_t5(ks[2], T5_E2E),
+        t5_cfg=T5_E2E,
+        clip_params=init_clip_visual(ks[3], CLIP_E2E),
+        clip_cfg=CLIP_E2E,
+        wav2vec_params=init_wav2vec2(ks[4], W2V_E2E),
+        wav2vec_cfg=W2V_E2E,
+        tokenizer=tok,
+    )
+
+
+def test_generate_long_end_to_end(tiny_models):
+    rng = np.random.default_rng(0)
+    ref = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    # 2 "clips" of audio: 18 video frames at 640 samples/frame
+    wav = rng.standard_normal(18 * 640).astype(np.float32) * 0.1
+
+    out = generate_long(
+        tiny_models,
+        ref_image=ref,
+        vocal_waveform=wav,
+        prompt="a person talking",
+        negative_prompt="",
+        num_inference_steps=2,
+        clip_length=9,
+        overlap_window_length=1,
+        seed=0,
+    )
+    # 18 frames -> infer_length (18-1)//4+1 = 5 latents -> 1+4*4 = 17 frames
+    assert out.videos.shape == (1, 3, 17, 32, 32)
+    assert np.isfinite(out.videos).all()
+    assert out.videos.min() >= 0.0 and out.videos.max() <= 1.0
+
+
+def test_generate_single_clip_end_to_end(tiny_models):
+    from stableavatar_tpu.pipelines.single_clip import generate_single_clip
+
+    rng = np.random.default_rng(1)
+    ref = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    wav = rng.standard_normal(9 * 640).astype(np.float32) * 0.1
+
+    ids_p, mask_p = np.ones(16, np.int32), np.ones(16, np.int32)
+    ids_n, mask_n = np.zeros(16, np.int32), np.ones(16, np.int32)
+
+    out = generate_single_clip(
+        tiny_models,
+        ref_image=ref,
+        vocal_waveform=wav,
+        prompt_ids=(ids_p, mask_p),
+        negative_prompt_ids=(ids_n, mask_n),
+        num_inference_steps=2,
+        clip_length=9,
+        seed=0,
+    )
+    assert out.videos.shape == (1, 3, 9, 32, 32)
+    assert np.isfinite(out.videos).all()

@@ -1,0 +1,86 @@
+"""Causal 3D VAE: streaming parity against an independent torch oracle, plus
+shape and roundtrip sanity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stableavatar_tpu.config import VAEConfig
+from stableavatar_tpu.models.vae import (
+    decode_video,
+    encode_video,
+    init_vae,
+)
+
+torch = pytest.importorskip("torch")
+
+TINY = VAEConfig(
+    dim=4,
+    z_dim=2,
+    dim_mult=(1, 2, 2),
+    num_res_blocks=1,
+    temporal_downsample=(False, True),
+    temporal_compression_ratio=2,
+    spatial_compression_ratio=4,
+    latent_mean=(0.1, -0.2),
+    latent_std=(1.5, 0.8),
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_vae(jax.random.PRNGKey(0), TINY)
+    from tests.vae_torch_oracle import Oracle
+
+    params_np = jax.tree.map(np.asarray, params)
+    return params, Oracle(params_np, TINY)
+
+
+def test_encode_matches_oracle(setup):
+    params, oracle = setup
+    rng = np.random.default_rng(0)
+    video = rng.standard_normal((1, 3, 9, 16, 16)).astype(np.float32)  # 1+4*2 frames
+
+    with torch.no_grad():
+        want = oracle.encode(torch.from_numpy(video)).numpy()
+
+    got = np.asarray(encode_video(params, jnp.asarray(video), TINY))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_decode_matches_oracle(setup):
+    params, oracle = setup
+    rng = np.random.default_rng(1)
+    # latent: 9 frames -> 1 + 2*2 = 5 latent frames at 2x temporal compression
+    z = rng.standard_normal((1, 2, 5, 4, 4)).astype(np.float32)
+
+    with torch.no_grad():
+        want = oracle.decode(torch.from_numpy(z)).numpy()
+
+    got = np.asarray(decode_video(params, jnp.asarray(z), TINY))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_encode_decode_shapes(setup):
+    params, _ = setup
+    video = jnp.zeros((1, 3, 9, 16, 16))
+    z = encode_video(params, video, TINY)
+    assert z.shape == (1, 2, 5, 4, 4)
+    out = decode_video(params, z, TINY)
+    assert out.shape == (1, 3, 9, 16, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_single_frame_image(setup):
+    """1-frame input (reference image path) must work: T = 1+4*0."""
+    params, oracle = setup
+    rng = np.random.default_rng(2)
+    video = rng.standard_normal((1, 3, 1, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = oracle.encode(torch.from_numpy(video)).numpy()
+    got = np.asarray(encode_video(params, jnp.asarray(video), TINY))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
