@@ -1,0 +1,203 @@
+"""Talking-video training dataset (host-side, numpy).
+
+Re-implements `LargeScaleTalkingFantasyVideos`
+(`wan/dataset/talking_video_dataset_fantasy.py:102-328`) for the TPU input
+pipeline: pure-numpy sample assembly feeding the jitted train step (device
+transfer happens at the step boundary; swap in grain/tf.data for multi-host
+sharded loading without changing the sample schema).
+
+Per-clip directory schema (reference `:130-137,161-185`):
+  {clip}/sub_clip.mp4 (or images/ frame PNGs), images/, face_masks/,
+  lip_masks/, audio.wav — clip paths listed one-per-line in an index txt.
+
+Behaviors preserved:
+- random 81-frame window with stride (`:189-194`); reference image = first
+  frame of the window (`:203-207`);
+- audio sliced to the window by fps, sample-accurate (`:251-265`), zero-pad
+  fallback when too short (`:258-262`);
+- motion score = mean cosine similarity of consecutive frames (`:283-296`);
+- prompt derived from path keywords singing/speech/dancing (`:299-307`);
+- first-frame-only inpaint mask at train time (`:321-325`);
+- missing-mask fallback to ones (`:220-244`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from stableavatar_tpu.data.masks import get_random_mask
+from stableavatar_tpu.utils.media import load_wav
+
+PROMPTS = {
+    "singing": "The protagonist is singing",
+    "speech": "The protagonist is talking",
+    "dancing": "The protagonist is simultaneously dancing and singing",
+}
+
+
+def _load_frame(path: str, size) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    if size is not None:
+        img = cv2.resize(img, (size[1], size[0]))
+    return img
+
+
+def _load_mask(path: str, size) -> Optional[np.ndarray]:
+    import cv2
+
+    m = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if m is None:
+        return None
+    if size is not None:
+        m = cv2.resize(m, (size[1], size[0]))
+    return (m > 127).astype(np.float32)
+
+
+class TalkingVideoDataset:
+    """Iterable over per-clip samples for flow-matching training."""
+
+    def __init__(
+        self,
+        index_file: str,
+        data_root: str = "",
+        sample_size=(512, 512),
+        clip_length: int = 81,
+        fps: int = 25,
+        sr: int = 16000,
+        audio_dropout_prob: float = 0.1,
+        enable_inpaint: bool = True,
+        seed: int = 0,
+    ):
+        with open(index_file) as f:
+            self.clips: List[str] = [
+                os.path.join(data_root, line.strip()) for line in f if line.strip()
+            ]
+        self.sample_size = tuple(sample_size)
+        self.clip_length = clip_length
+        self.fps = fps
+        self.sr = sr
+        self.audio_dropout_prob = audio_dropout_prob
+        self.enable_inpaint = enable_inpaint
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.clips)
+
+    def _frame_paths(self, clip: str) -> List[str]:
+        img_dir = os.path.join(clip, "images")
+        names = sorted(os.listdir(img_dir))
+        return [os.path.join(img_dir, n) for n in names]
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        clip = self.clips[idx]
+        frames = self._frame_paths(clip)
+        n = len(frames)
+        cl = self.clip_length
+
+        start = 0 if n <= cl else int(self.rng.integers(0, n - cl + 1))
+        sel = list(range(start, min(start + cl, n)))
+        while len(sel) < cl:  # loop-pad short clips
+            sel.append(sel[-1])
+
+        h, w = self.sample_size
+        pixels = np.stack([_load_frame(frames[i], (h, w)) for i in sel])
+        pixels = (pixels.astype(np.float32) / 255.0 - 0.5) * 2.0  # [F,H,W,3]
+        pixels = pixels.transpose(3, 0, 1, 2)  # [3,F,H,W]
+
+        def masks_for(sub: str) -> np.ndarray:
+            mdir = os.path.join(clip, sub)
+            out = []
+            for i in sel:
+                p = os.path.join(mdir, os.path.basename(frames[i]))
+                m = _load_mask(p, (h, w)) if os.path.isdir(mdir) else None
+                out.append(m if m is not None else np.ones((h, w), np.float32))
+            return np.stack(out)[None]  # [1,F,H,W]
+
+        face_masks = masks_for("face_masks")
+        lip_masks = masks_for("lip_masks")
+
+        # audio window, sample-accurate to the frame window
+        wav_path = os.path.join(clip, "audio.wav")
+        spf = self.sr // self.fps
+        if os.path.exists(wav_path):
+            wav, _ = load_wav(wav_path, self.sr)
+            a0 = start * spf
+            a1 = a0 + cl * spf
+            audio = wav[a0:a1]
+            if len(audio) < cl * spf:
+                audio = np.pad(audio, (0, cl * spf - len(audio)))
+        else:
+            audio = np.zeros(cl * spf, np.float32)
+
+        if self.rng.random() < self.audio_dropout_prob:
+            audio = np.zeros_like(audio)
+
+        # motion score from frame cosine similarity (`:283-296`)
+        flat = pixels.reshape(3, cl, -1)
+        a, b = flat[:, :-1], flat[:, 1:]
+        cos = (a * b).sum(-1) / np.maximum(
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1), 1e-6
+        )
+        motion_id = float(np.mean(cos))
+
+        prompt = ""
+        for k, v in PROMPTS.items():
+            if k in clip:
+                prompt = v
+                break
+
+        sample = {
+            "pixel_values": pixels,
+            "reference_image": pixels[:, 0:1],
+            "tgt_face_masks": face_masks,
+            "tgt_lip_masks": lip_masks,
+            "vocal_input_values": audio.astype(np.float32),
+            "text_prompt": prompt,
+            "motion_id": motion_id,
+            "audio_path": wav_path,
+        }
+
+        if self.enable_inpaint:
+            m = get_random_mask(
+                (cl, 3, h, w), image_start_only=True, rng=self.rng
+            ).astype(np.float32)
+            masked = pixels * (1 - m.transpose(1, 0, 2, 3))
+            sample["masked_pixel_values"] = masked
+            sample["pixel_value_masks"] = m
+        return sample
+
+    def batches(self, batch_size: int, shuffle: bool = True):
+        order = np.arange(len(self))
+        while True:
+            if shuffle:
+                self.rng.shuffle(order)
+            for i in range(0, len(order) - batch_size + 1, batch_size):
+                samples = [self[int(j)] for j in order[i : i + batch_size]]
+                yield {
+                    k: np.stack([s[k] for s in samples])
+                    if isinstance(samples[0][k], np.ndarray)
+                    else [s[k] for s in samples]
+                    for k in samples[0]
+                }
+
+
+class InterleavedDataset:
+    """Shuffled interleave of multiple datasets (the rec+vec trainer pattern,
+    `train_1B_rec_vec.py:1101-1127`)."""
+
+    def __init__(self, datasets: List[TalkingVideoDataset], seed: int = 0):
+        self.datasets = datasets
+        self.rng = np.random.default_rng(seed)
+
+    def batches(self, batch_size: int):
+        iters = [d.batches(batch_size) for d in self.datasets]
+        while True:
+            yield next(iters[int(self.rng.integers(0, len(iters)))])

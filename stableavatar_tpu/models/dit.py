@@ -152,6 +152,7 @@ def _self_attention(p, x, freqs: RopeFreqs, num_heads, eps):
     q = rms_norm(apply_linear(p["q"], x), p["norm_q"]["w"], eps).reshape(b, l, num_heads, d)
     k = rms_norm(apply_linear(p["k"], x), p["norm_k"]["w"], eps).reshape(b, l, num_heads, d)
     v = apply_linear(p["v"], x).reshape(b, l, num_heads, d)
+    # rope_apply returns fp32; cast back below keeps the MXU in bf16
     q = rope_apply(q, freqs).astype(x.dtype)
     k = rope_apply(k, freqs).astype(x.dtype)
     # Ulysses-style SP: reshard tokens->heads for full-sequence attention;
@@ -182,15 +183,17 @@ def _cross_attention(
     d = dim // num_heads
     f = latents_num_frames
 
-    q = rms_norm(apply_linear(p["q"], x), p["norm_q"]["w"], eps).reshape(b, l, num_heads, d)
+    dt = x.dtype
+    q = rms_norm(apply_linear(p["q"], x), p["norm_q"]["w"], eps).astype(dt)
+    q = q.reshape(b, l, num_heads, d)
 
-    k = rms_norm(apply_linear(p["k"], context_text), p["norm_k"]["w"], eps)
+    k = rms_norm(apply_linear(p["k"], context_text), p["norm_k"]["w"], eps).astype(dt)
     v = apply_linear(p["v"], context_text)
     k = k.reshape(b, -1, num_heads, d)
     v = v.reshape(b, -1, num_heads, d)
     txt = attention(q, k, v)
 
-    k_img = rms_norm(apply_linear(p["k_img"], context_img), p["norm_k_img"]["w"], eps)
+    k_img = rms_norm(apply_linear(p["k_img"], context_img), p["norm_k_img"]["w"], eps).astype(dt)
     v_img = apply_linear(p["v_img"], context_img)
     k_img = k_img.reshape(b, -1, num_heads, d)
     v_img = v_img.reshape(b, -1, num_heads, d)
@@ -317,6 +320,7 @@ def dit_forward(
     is_clip_level_modeling: bool = False,
     freqs: Optional[RopeFreqs] = None,
     remat: bool = False,
+    return_residual: bool = False,
 ) -> jnp.ndarray:
     """One denoise evaluation.  Returns velocity prediction [B, 16, F, H, W].
 
@@ -343,6 +347,7 @@ def dit_forward(
     e, e0 = time_embeddings(params, cfg, t, dtype)
     context_text, context_img = encode_context(params, cfg, text_embeds, clip_fea, dtype)
 
+    vocal_embeddings = vocal_embeddings.astype(dtype)
     if vocal_cfg_tile:
         vocal_context, vocal_k_lens = apply_vocal_projector(
             params["vocal_projector"],
@@ -390,11 +395,49 @@ def dit_forward(
 
     if remat:
         body = jax.checkpoint(body)
+    tokens_in = tokens
     tokens, _ = jax.lax.scan(body, tokens, params["blocks"])
 
-    # head (reference Head, :698-723)
+    out = _apply_head(params, cfg, tokens, e, grid)
+    if return_residual:
+        # TeaCache residual: block-stack delta (wan_fantasy_..._1B.py:1100-1103)
+        return out, tokens - tokens_in
+    return out
+
+
+def _apply_head(params, cfg: DiTConfig, tokens, e, grid):
+    """Head + unpatchify (reference Head `:698-723`, unpatchify `:1161-1184`)."""
     hp = params["head"]
     hm = hp["modulation"].astype(e.dtype) + e[:, None]
     h0, h1 = hm[:, 0:1], hm[:, 1:2]
     out = apply_linear(hp["head"], layer_norm(tokens, eps=cfg.eps) * (1 + h1) + h0)
     return unpatchify(out.astype(jnp.float32), grid, cfg.patch_size, cfg.out_dim)
+
+
+def dit_time_e0(params, cfg: DiTConfig, t: jnp.ndarray, dtype=jnp.bfloat16):
+    """Just the modulated time embedding e0 — the TeaCache decision input
+    (`wan_fantasy_transformer3d_1B.py:1024`)."""
+    _, e0 = time_embeddings(params, cfg, t, dtype)
+    return e0
+
+
+def dit_forward_skip(
+    params,
+    cfg: DiTConfig,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    y: jnp.ndarray,
+    residual: jnp.ndarray,  # [B, L, dim] cached block-stack delta
+) -> jnp.ndarray:
+    """TeaCache skip path: patch-embed + cached residual + head — no blocks
+    (`wan_fantasy_transformer3d_1B.py:1047-1050`)."""
+    b, _, f, h, w = x.shape
+    pt, ph, pw = cfg.patch_size
+    grid = (f // pt, h // ph, w // pw)
+    dtype = x.dtype
+
+    xin = jnp.concatenate([x, y.astype(dtype)], axis=1)
+    tokens = apply_linear(params["patch_embedding"], patchify(xin, cfg.patch_size))
+    e, _ = time_embeddings(params, cfg, t, dtype)
+    tokens = tokens + residual.astype(tokens.dtype)
+    return _apply_head(params, cfg, tokens, e, grid)

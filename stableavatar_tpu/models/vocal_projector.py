@@ -61,7 +61,8 @@ def split_audio_sequence(audio_len: int, num_frames: int = 81):
             pos_indices.append(center_token)
 
     ranges = [[idx - half_tokens, idx + half_tokens] for idx in pos_indices]
-    ranges[0] = [-(half_tokens * 2 - ranges[1][0]), ranges[1][0]]
+    if len(ranges) > 1:
+        ranges[0] = [-(half_tokens * 2 - ranges[1][0]), ranges[1][0]]
     return ranges
 
 
@@ -200,9 +201,9 @@ def _vocal_cross_attention(p, x, latents, num_heads, num_frames, eps):
     vd = x.shape[-1]
     d = vd // num_heads
 
-    q = rms_norm(apply_linear(p["q"], x), p["norm_q"]["w"], eps)
-    k = rms_norm(apply_linear(p["k"], latents), p["norm_k"]["w"], eps)
-    v = apply_linear(p["v"], latents)
+    q = rms_norm(apply_linear(p["q"], x), p["norm_q"]["w"], eps).astype(x.dtype)
+    k = rms_norm(apply_linear(p["k"], latents), p["norm_k"]["w"], eps).astype(x.dtype)
+    v = apply_linear(p["v"], latents).astype(x.dtype)
 
     q = q.reshape(b * num_frames, -1, num_heads, d)
     k = k.reshape(b * num_frames, -1, num_heads, d)

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stableavatar_tpu.models.dit import dit_forward
+from stableavatar_tpu.models.dit import dit_forward, dit_forward_skip, dit_time_e0
 from stableavatar_tpu.models.vae import decode_video
 from stableavatar_tpu.pipelines.common import (
     WanModels,
@@ -111,7 +111,7 @@ def _window_step(
     Euler update.  Donated latents buffer keeps HBM flat."""
     lat3 = jnp.concatenate([latents] * 3, axis=0).astype(jnp.bfloat16)
     tb = jnp.full((3,), t, dtype=jnp.float32)
-    noise_pred = dit_forward(
+    noise_pred, residual = dit_forward(
         params,
         dit_cfg,
         lat3,
@@ -122,7 +122,34 @@ def _window_step(
         vocal_emb,
         video_sample_n_frames=clip_length,
         vocal_cfg_tile=True,
+        return_residual=True,
     )
+    noise_pred = guidance_combine_long(noise_pred, text_scale, audio_scale)
+    new_lat = latents.astype(jnp.float32) + (sigma_next - sigma) * noise_pred
+    return new_lat.astype(jnp.bfloat16), residual
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dit_cfg", "text_scale", "audio_scale"),
+    donate_argnums=(1,),
+)
+def _window_step_skip(
+    params,
+    latents,
+    y,
+    residual,
+    t,
+    sigma,
+    sigma_next,
+    dit_cfg,
+    text_scale: float,
+    audio_scale: float,
+):
+    """TeaCache skip path: no transformer blocks, cached residual applied."""
+    lat3 = jnp.concatenate([latents] * 3, axis=0).astype(jnp.bfloat16)
+    tb = jnp.full((3,), t, dtype=jnp.float32)
+    noise_pred = dit_forward_skip(params, dit_cfg, lat3, tb, y, residual)
     noise_pred = guidance_combine_long(noise_pred, text_scale, audio_scale)
     new_lat = latents.astype(jnp.float32) + (sigma_next - sigma) * noise_pred
     return new_lat.astype(jnp.bfloat16)
@@ -202,21 +229,42 @@ def generate_long(
             f = e - s
             lat_win = jax.lax.dynamic_slice_in_dim(latents_all, s, f, axis=2)
             y_win = y_full[:, :, :f]
-            new_lat = _window_step(
-                models.dit_params,
-                lat_win,
-                y_win,
-                text_ctx,
-                clip_ctx,
-                vocal_embs[wi],
-                t,
-                sigma,
-                sigma_next,
-                models.dit_cfg,
-                clip_length,
-                float(text_guide_scale),
-                float(audio_guide_scale),
-            )
+            compute = True
+            if teacache is not None:
+                e0 = dit_time_e0(models.dit_params, models.dit_cfg, jnp.full((1,), t))
+                compute = teacache.plan(e0) or teacache.residual is None \
+                    or teacache.residual.shape[1] != f * (lat_win.shape[-2] // 2) * (lat_win.shape[-1] // 2)
+            if compute:
+                new_lat, residual = _window_step(
+                    models.dit_params,
+                    lat_win,
+                    y_win,
+                    text_ctx,
+                    clip_ctx,
+                    vocal_embs[wi],
+                    t,
+                    sigma,
+                    sigma_next,
+                    models.dit_cfg,
+                    clip_length,
+                    float(text_guide_scale),
+                    float(audio_guide_scale),
+                )
+                if teacache is not None:
+                    teacache.store(residual)
+            else:
+                new_lat = _window_step_skip(
+                    models.dit_params,
+                    lat_win,
+                    y_win,
+                    teacache.residual,
+                    t,
+                    sigma,
+                    sigma_next,
+                    models.dit_cfg,
+                    float(text_guide_scale),
+                    float(audio_guide_scale),
+                )
             if s != 0 and i != 0 and ramp is not None:
                 prev_tail = jax.lax.dynamic_slice_in_dim(
                     pred_latents, prev_end - overlap_window_length,

@@ -1,0 +1,183 @@
+"""Training loop driver: dataset -> encoders -> jitted train step ->
+checkpoint rotation / resume / metrics.
+
+Covers the reference trainer orchestration (`train_1B_square.py:780-1407`,
+§3.4 call stack): streaming VAE encode of pixels and masked pixels, mask ->
+latent packing (first-frame repeat + 4-group reshape, `:1129-1138`), CLIP/T5/
+wav2vec conditioning with dropout, checkpoint save/rotate/resume
+(`:1331-1362`, `:1029-1052`), TensorBoard-style metric logging.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import shutil
+import time
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stableavatar_tpu.pipelines.common import WanModels
+from stableavatar_tpu.train.trainer import TrainConfig, make_optimizer, make_train_step, train_sigmas
+
+
+def encode_batch(models: WanModels, batch: dict, rng: np.random.Generator,
+                 audio_dropout_prob: float = 0.1) -> dict:
+    """Raw pixel/audio batch -> DiT training inputs (device arrays)."""
+    from stableavatar_tpu.models.clip import clip_visual_forward, preprocess_reference_image
+    from stableavatar_tpu.models.vae import encode_video
+    from stableavatar_tpu.models.wav2vec import normalize_waveform, wav2vec2_forward
+    from stableavatar_tpu.pipelines.common import encode_prompt_ids
+
+    pixels = jnp.asarray(batch["pixel_values"])  # [B, 3, F, H, W]
+    b = pixels.shape[0]
+
+    latents = encode_video(models.vae_params, pixels, models.vae_cfg)
+
+    masked = jnp.asarray(batch["masked_pixel_values"])
+    masked_latents = encode_video(models.vae_params, masked, models.vae_cfg)
+
+    # mask -> latent packing (train_1B_square.py:1129-1138): first frame
+    # repeated 4x then grouped into 4-channel latent-frame masks
+    m = jnp.asarray(batch["pixel_value_masks"])[:, :, 0]  # [B, F, H, W]
+    lh, lw = latents.shape[-2:]
+    m = jax.image.resize(m, (b, m.shape[1], lh, lw), method="nearest")
+    m = jnp.concatenate([jnp.repeat(m[:, 0:1], 4, axis=1), m[:, 1:]], axis=1)
+    m = m.reshape(b, m.shape[1] // 4, 4, lh, lw).transpose(0, 2, 1, 3, 4)
+    inpaint_latents = jnp.concatenate([m.astype(latents.dtype), masked_latents], axis=1)
+
+    ref = jnp.asarray(batch["reference_image"])[:, :, 0]  # [B, 3, H, W]
+    clip_fea = clip_visual_forward(
+        models.clip_params, models.clip_cfg,
+        preprocess_reference_image(ref, models.clip_cfg),
+    )
+
+    wav = jnp.asarray(batch["vocal_input_values"])  # [B, S]
+    if models.wav2vec_cfg.do_normalize:
+        wav = normalize_waveform(wav)
+    vocal = wav2vec2_forward(models.wav2vec_params, models.wav2vec_cfg, wav)
+
+    if models.tokenizer is not None:
+        ids, mask = zip(*(models.tokenizer(p) for p in batch["text_prompt"]))
+        prompt_embeds = encode_prompt_ids(
+            models, jnp.asarray(np.stack(ids)), jnp.asarray(np.stack(mask))
+        )
+    else:
+        prompt_embeds = jnp.asarray(batch["prompt_embeds"])
+
+    def latent_masks(key):
+        mm = jnp.asarray(batch[key])[:, 0]  # [B, F, H, W]
+        mm = jax.image.resize(
+            mm.astype(jnp.float32), (b, latents.shape[2], lh, lw), method="trilinear"
+        )
+        return mm[:, None]
+
+    return {
+        "latents": latents,
+        "inpaint_latents": inpaint_latents,
+        "prompt_embeds": prompt_embeds,
+        "clip_fea": clip_fea,
+        "vocal_embeddings": vocal,
+        "face_masks": latent_masks("tgt_face_masks"),
+        "lip_masks": latent_masks("tgt_lip_masks"),
+    }
+
+
+@dataclasses.dataclass
+class CheckpointManager:
+    """save_state + rotation + latest-resume (reference `:1331-1362`,
+    `:1029-1052`), via orbax."""
+
+    output_dir: str
+    total_limit: Optional[int] = None
+
+    def save(self, step: int, params, opt_state):
+        from stableavatar_tpu.utils.checkpoint import save_checkpoint
+
+        path = os.path.join(self.output_dir, f"checkpoint-{step}")
+        save_checkpoint(path, {"params": params, "opt_state": opt_state, "step": jnp.asarray(step)})
+        self._rotate()
+        return path
+
+    def _rotate(self):
+        if self.total_limit is None:
+            return
+        ckpts = sorted(
+            (d for d in os.listdir(self.output_dir) if d.startswith("checkpoint-")),
+            key=lambda d: int(d.split("-")[1]),
+        )
+        while len(ckpts) > self.total_limit:
+            shutil.rmtree(os.path.join(self.output_dir, ckpts.pop(0)))
+
+    def latest(self) -> Optional[str]:
+        if not os.path.isdir(self.output_dir):
+            return None
+        ckpts = sorted(
+            (d for d in os.listdir(self.output_dir) if d.startswith("checkpoint-")),
+            key=lambda d: int(d.split("-")[1]),
+        )
+        return os.path.join(self.output_dir, ckpts[-1]) if ckpts else None
+
+    def restore(self, template):
+        from stableavatar_tpu.utils.checkpoint import restore_checkpoint
+
+        path = self.latest()
+        if path is None:
+            return None
+        return restore_checkpoint(path, template)
+
+
+def train(
+    models: WanModels,
+    batches: Iterable[dict],
+    train_cfg: TrainConfig,
+    *,
+    output_dir: str = "train_output",
+    max_train_steps: int = 1000,
+    checkpointing_steps: int = 500,
+    checkpoints_total_limit: Optional[int] = 3,
+    resume_from_checkpoint: Optional[str] = "latest",
+    log_every: int = 10,
+    seed: int = 42,
+):
+    """Main loop (reference `main()` §3.4)."""
+    os.makedirs(output_dir, exist_ok=True)
+    tx = make_optimizer(train_cfg)
+    params = models.dit_params
+    opt_state = tx.init(params)
+    step = 0
+
+    cm = CheckpointManager(output_dir, checkpoints_total_limit)
+    if resume_from_checkpoint == "latest":
+        restored = cm.restore({"params": params, "opt_state": opt_state, "step": jnp.asarray(0)})
+        if restored is not None:
+            params, opt_state = restored["params"], restored["opt_state"]
+            step = int(restored["step"])
+
+    step_fn = make_train_step(models.dit_cfg, train_cfg, tx, train_sigmas(
+        train_cfg.num_train_timesteps, train_cfg.shift
+    ))
+    key = jax.random.PRNGKey(seed)
+    rng = np.random.default_rng(seed)
+    history = []
+
+    t0 = time.time()
+    for batch in batches:
+        if step >= max_train_steps:
+            break
+        enc = encode_batch(models, batch, rng)
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = step_fn(params, opt_state, enc, sub, jnp.asarray(step))
+        step += 1
+        if step % log_every == 0:
+            loss = float(metrics["loss"])
+            history.append({"step": step, "loss": loss, "time": time.time() - t0})
+            print(f"step {step} loss {loss:.5f} gnorm {float(metrics['grad_norm']):.4f}")
+        if step % checkpointing_steps == 0:
+            cm.save(step, params, opt_state)
+
+    models.dit_params = params
+    return params, opt_state, history

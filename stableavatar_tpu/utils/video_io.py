@@ -1,0 +1,55 @@
+"""Video saving / grid export (host-side).
+
+Replaces reference `save_videos_grid` / `cache_video`
+(`wan/utils/utils.py:36-187`): imageio mp4/gif writer with optional grid
+tiling, plus `get_image_to_video_latent`-equivalent helpers living in the
+pipelines (conditioning prep is on-device there).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def to_uint8(video: np.ndarray) -> np.ndarray:
+    """[B, C, T, H, W] float in [0,1] -> [T, H, W*B, C] uint8 grid."""
+    v = np.clip(video, 0.0, 1.0)
+    v = (v * 255.0).round().astype(np.uint8)
+    v = v.transpose(2, 3, 0, 4, 1)  # [T, H, B, W, C]
+    t, h, b, w, c = v.shape
+    return v.reshape(t, h, b * w, c)
+
+
+def save_videos_grid(video: np.ndarray, path: str, fps: int = 25) -> None:
+    """video [B, C, T, H, W] in [0, 1] -> mp4/gif on disk."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    frames = to_uint8(video)
+    import imageio
+
+    if path.endswith(".gif"):
+        imageio.mimsave(path, list(frames), fps=fps)
+        return
+    try:
+        writer = imageio.get_writer(path, fps=fps, codec="libx264", quality=8)
+    except Exception:
+        # no ffmpeg backend: fall back to per-frame PNGs next to the target
+        stem = os.path.splitext(path)[0]
+        os.makedirs(stem, exist_ok=True)
+        for i, fr in enumerate(frames):
+            imageio.imwrite(os.path.join(stem, f"frame_{i:06d}.png"), fr)
+        return
+    with writer:
+        for fr in frames:
+            writer.append_data(fr)
+
+
+def save_image(image: np.ndarray, path: str) -> None:
+    """image [C, H, W] in [0, 1]."""
+    import imageio
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    arr = (np.clip(image, 0, 1) * 255).round().astype(np.uint8).transpose(1, 2, 0)
+    imageio.imwrite(path, arr)

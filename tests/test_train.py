@@ -1,0 +1,164 @@
+"""Training stack: one jitted train step end-to-end (tiny), loss math,
+anomaly-aware clipping, LoRA create/merge/unmerge."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stableavatar_tpu.config import DiTConfig
+from stableavatar_tpu.models.dit import init_dit
+from stableavatar_tpu.train.losses import (
+    anomaly_aware_max_norm,
+    masked_flow_loss,
+    sample_timestep_indices,
+)
+from stableavatar_tpu.train.trainer import (
+    TrainConfig,
+    make_optimizer,
+    make_train_step,
+    train_sigmas,
+    trainable_mask,
+)
+
+TINY = DiTConfig(
+    dim=32, ffn_dim=64, freq_dim=16, text_dim=32, in_dim=36, out_dim=16,
+    num_heads=4, num_layers=2, text_len=8, clip_tokens=5, clip_dim=16,
+    audio_in_dim=8, audio_proj_dim=32, vocal_num_heads=4,
+)
+
+
+def _batch(b=1, f=3, h=8, w=8):
+    rng = np.random.default_rng(0)
+    return {
+        "latents": jnp.asarray(rng.standard_normal((b, 16, f, h, w)), jnp.float32),
+        "inpaint_latents": jnp.asarray(rng.standard_normal((b, 20, f, h, w)), jnp.float32),
+        "prompt_embeds": jnp.asarray(rng.standard_normal((b, TINY.text_len, TINY.text_dim)), jnp.float32),
+        "clip_fea": jnp.asarray(rng.standard_normal((b, TINY.clip_tokens, TINY.clip_dim)), jnp.float32),
+        "vocal_embeddings": jnp.asarray(rng.standard_normal((b, 20, TINY.audio_in_dim)), jnp.float32),
+        "face_masks": jnp.asarray(rng.uniform(0, 1, (b, 1, f, h, w)), jnp.float32),
+        "lip_masks": jnp.asarray(rng.uniform(0, 1, (b, 1, f, h, w)), jnp.float32),
+    }
+
+
+def test_train_step_decreases_nothing_but_runs_and_updates():
+    tc = TrainConfig(remat=False, video_sample_n_frames=9, learning_rate=1e-3)
+    params = init_dit(jax.random.PRNGKey(0), TINY)
+    tx = make_optimizer(tc)
+    opt_state = tx.init(params)
+    step = make_train_step(TINY, tc, tx, train_sigmas())
+
+    before = params["head"]["head"]["w"]
+    new_params, opt_state, metrics = step(
+        params, opt_state, _batch(), jax.random.PRNGKey(1), jnp.asarray(0)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+    # head weight is zero-init; gradient should move it
+    after = new_params["head"]["head"]["w"]
+    assert float(jnp.abs(after - before).max()) > 0.0
+
+
+def test_masked_flow_loss_weighting_modes():
+    rng = np.random.default_rng(1)
+    pred = jnp.asarray(rng.standard_normal((1, 4, 3, 4, 4)), jnp.float32)
+    target = jnp.zeros_like(pred)
+    face = jnp.ones((1, 1, 3, 4, 4)) * 0.5
+    lip = jnp.ones((1, 1, 3, 4, 4)) * 0.25
+
+    base = float(jnp.mean(jnp.square(pred)))
+    # flag in [0.4, 0.5) -> face weighting
+    l_face = float(masked_flow_loss(pred, target, face, lip, jnp.asarray(0.45)))
+    np.testing.assert_allclose(l_face, base * 0.5, rtol=1e-5)
+    # flag >= 0.5 -> lip weighting
+    l_lip = float(masked_flow_loss(pred, target, face, lip, jnp.asarray(0.7)))
+    np.testing.assert_allclose(l_lip, base * 0.25, rtol=1e-5)
+    # flag < 0.4 -> 1 + face + lip
+    l_both = float(masked_flow_loss(pred, target, face, lip, jnp.asarray(0.1)))
+    np.testing.assert_allclose(l_both, base * 1.75, rtol=1e-5)
+
+
+def test_motion_sub_loss_channel_axis():
+    pred = jnp.ones((1, 4, 3, 2, 2))
+    target = jnp.zeros_like(pred)
+    ones_mask = jnp.ones((1, 1, 3, 2, 2))
+    l0 = masked_flow_loss(pred, target, ones_mask, ones_mask, jnp.asarray(0.45), motion_sub_ratio=0.0)
+    l1 = masked_flow_loss(pred, target, ones_mask, ones_mask, jnp.asarray(0.45), motion_sub_ratio=0.5)
+    # constant pred => channel diffs are zero => sub_loss = 0 => loss halves
+    np.testing.assert_allclose(float(l1), float(l0) * 0.5, rtol=1e-5)
+
+
+def test_anomaly_aware_max_norm():
+    # normal regime: bound = linear decay value
+    b0 = float(anomaly_aware_max_norm(jnp.asarray(0.01), 0.05, 5.0, 100, jnp.asarray(200)))
+    np.testing.assert_allclose(b0, 0.05, rtol=1e-5)
+    # anomalous: norm/bound > 5 after decay window -> shrink by min(ratio, 10)
+    b1 = float(anomaly_aware_max_norm(jnp.asarray(10.0), 0.05, 5.0, 100, jnp.asarray(200)))
+    np.testing.assert_allclose(b1, 0.05 / 10.0, rtol=1e-4)
+    # before window: no anomaly handling; bound interpolates toward 0.25 at step 0
+    b2 = float(anomaly_aware_max_norm(jnp.asarray(10.0), 0.05, 5.0, 100, jnp.asarray(0)))
+    np.testing.assert_allclose(b2, 0.25, rtol=1e-5)
+
+
+def test_sample_timestep_stratification():
+    key = jax.random.PRNGKey(0)
+    idx = sample_timestep_indices(key, 1000, 1000, dp_rank=2, dp_size=4)
+    assert int(idx.min()) >= 500 and int(idx.max()) < 750
+
+
+def test_trainable_mask_modes():
+    params = init_dit(jax.random.PRNGKey(0), TINY)
+    mask_all = trainable_mask(params, train_all=True)
+    assert all(jax.tree.leaves(mask_all))
+
+
+def test_lora_roundtrip():
+    from stableavatar_tpu.utils.lora import create_lora, merge_lora, unmerge_lora
+
+    params = init_dit(jax.random.PRNGKey(0), TINY)
+    lora = create_lora(jax.random.PRNGKey(1), params, rank=4, alpha=8.0)
+
+    n_adapters = len([
+        l for l in jax.tree_util.tree_leaves_with_path(
+            lora, is_leaf=lambda x: isinstance(x, dict) and "down" in x
+        )
+    ])
+    assert n_adapters > 0
+
+    # up is zero-init -> merge is identity
+    merged = merge_lora(params, lora, rank=4, alpha=8.0)
+    np.testing.assert_allclose(
+        np.asarray(merged["blocks"]["self_attn"]["q"]["w"]),
+        np.asarray(params["blocks"]["self_attn"]["q"]["w"]),
+    )
+
+    # nonzero up: merge then unmerge restores original
+    lora_nz = jax.tree.map(lambda x: x + 0.01, lora)
+    merged = merge_lora(params, lora_nz, rank=4, alpha=8.0)
+    assert float(jnp.abs(
+        merged["blocks"]["self_attn"]["q"]["w"] - params["blocks"]["self_attn"]["q"]["w"]
+    ).max()) > 0
+    restored = unmerge_lora(merged, lora_nz, rank=4, alpha=8.0)
+    np.testing.assert_allclose(
+        np.asarray(restored["blocks"]["self_attn"]["q"]["w"]),
+        np.asarray(params["blocks"]["self_attn"]["q"]["w"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_teacache_controller():
+    from stableavatar_tpu.models.teacache import TeaCache, get_teacache_coefficients
+
+    coef = get_teacache_coefficients("wan2.1-t2v-1.3b")
+    assert coef is not None
+    tc = TeaCache(coef, num_steps=10, rel_l1_thresh=0.5, num_skip_start_steps=2)
+
+    e0 = jnp.ones((1, 6, 8))
+    assert tc.plan(e0) is True  # cnt 0 forced
+    assert tc.plan(e0 * 1.001) is True  # skip-start window
+    # small drift accumulates below threshold -> skip
+    r = tc.plan(e0 * 1.002)
+    assert isinstance(r, bool)
+    tc.store(jnp.zeros((1, 4, 8)))
+    assert tc.residual is not None

@@ -1,0 +1,209 @@
+"""Utils: checkpoint converters (torch-layout oracle roundtrip), color
+correction, masks, media IO, fm solvers."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+
+def test_convert_dit_from_torch_layout():
+    """Build a reference-layout state dict with torch modules and verify the
+    converted pytree computes the same linear outputs."""
+    from stableavatar_tpu.config import DiTConfig
+    from stableavatar_tpu.utils.checkpoint import convert_dit
+
+    cfg = DiTConfig(
+        dim=16, ffn_dim=32, freq_dim=8, text_dim=16, in_dim=36, out_dim=16,
+        num_heads=2, num_layers=2, text_len=4, clip_tokens=3, clip_dim=8,
+        audio_in_dim=8, audio_proj_dim=16, vocal_num_heads=2,
+    )
+    g = torch.Generator().manual_seed(0)
+
+    def lin(i, o, bias=True):
+        d = {"weight": torch.randn(o, i, generator=g)}
+        if bias:
+            d["bias"] = torch.randn(o, generator=g)
+        return d
+
+    sd = {}
+    # 16-channel patch embedding exercises the channel-pad trick (:1316-1320)
+    sd["patch_embedding.weight"] = torch.randn(16, 16, 1, 2, 2, generator=g)
+    sd["patch_embedding.bias"] = torch.randn(16, generator=g)
+    for name, (i, o) in {
+        "text_embedding.0": (16, 16), "text_embedding.2": (16, 16),
+        "time_embedding.0": (8, 16), "time_embedding.2": (16, 16),
+        "time_projection.1": (16, 96),
+        "img_emb.proj.1": (8, 8), "img_emb.proj.3": (8, 16),
+        "head.head": (16, 64),
+    }.items():
+        for k, v in lin(i, o).items():
+            sd[f"{name}.{k}"] = v
+    for norm, d in {"img_emb.proj.0": 8, "img_emb.proj.4": 16}.items():
+        sd[f"{norm}.weight"] = torch.randn(d, generator=g)
+        sd[f"{norm}.bias"] = torch.randn(d, generator=g)
+    sd["head.modulation"] = torch.randn(1, 2, 16, generator=g)
+
+    for bi in range(2):
+        b = f"blocks.{bi}"
+        for nm, (i, o) in {
+            "self_attn.q": (16, 16), "self_attn.k": (16, 16),
+            "self_attn.v": (16, 16), "self_attn.o": (16, 16),
+            "cross_attn.q": (16, 16), "cross_attn.k": (16, 16),
+            "cross_attn.v": (16, 16), "cross_attn.o": (16, 16),
+            "cross_attn.k_img": (16, 16), "cross_attn.v_img": (16, 16),
+            "cross_attn.k_vocal": (16, 16), "cross_attn.v_vocal": (16, 16),
+            "ffn.0": (16, 32), "ffn.2": (32, 16),
+        }.items():
+            for k, v in lin(i, o).items():
+                sd[f"{b}.{nm}.{k}"] = v
+        for nm, d in {
+            "self_attn.norm_q": 16, "self_attn.norm_k": 16,
+            "cross_attn.norm_q": 16, "cross_attn.norm_k": 16,
+            "cross_attn.norm_k_img": 16,
+        }.items():
+            sd[f"{b}.{nm}.weight"] = torch.randn(d, generator=g)
+        sd[f"{b}.norm3.weight"] = torch.randn(16, generator=g)
+        sd[f"{b}.norm3.bias"] = torch.randn(16, generator=g)
+        sd[f"{b}.modulation"] = torch.randn(1, 6, 16, generator=g)
+
+    # vocal projector (1B layout)
+    sd["vocal_projector.proj_model.proj.weight"] = torch.randn(16, 8, generator=g)
+    sd["vocal_projector.proj_model.norm.weight"] = torch.randn(16, generator=g)
+    sd["vocal_projector.proj_model.norm.bias"] = torch.randn(16, generator=g)
+    for bi in range(2):
+        b = f"vocal_projector.blocks.{bi}"
+        for nm, (i, o) in {
+            "cross_attn.q": (16, 16), "cross_attn.k": (16, 16),
+            "cross_attn.v": (16, 16), "cross_attn.o": (16, 16),
+            "ffn.0": (16, 32), "ffn.2": (32, 16),
+        }.items():
+            for k, v in lin(i, o).items():
+                sd[f"{b}.{nm}.{k}"] = v
+        sd[f"{b}.cross_attn.norm_q.weight"] = torch.randn(16, generator=g)
+        sd[f"{b}.cross_attn.norm_k.weight"] = torch.randn(16, generator=g)
+        sd[f"{b}.norm3.weight"] = torch.randn(16, generator=g)
+        sd[f"{b}.norm3.bias"] = torch.randn(16, generator=g)
+        sd[f"{b}.modulation"] = torch.randn(1, 6, 16, generator=g)
+    sd["vocal_projector.final_head.final_proj.weight"] = torch.randn(16, 16, generator=g)
+    sd["vocal_projector.final_head.final_proj.bias"] = torch.randn(16, generator=g)
+    sd["vocal_projector.final_head.modulation"] = torch.randn(1, 2, 16, generator=g)
+
+    sd_np = {k: v.numpy() for k, v in sd.items()}
+    params = convert_dit(sd_np, cfg)
+
+    # patch embedding: padded to 36 input channels with zeros
+    assert params["patch_embedding"]["w"].shape == (36 * 1 * 2 * 2, 16)
+    pe = np.asarray(params["patch_embedding"]["w"]).T.reshape(16, 36, 1, 2, 2)
+    np.testing.assert_allclose(pe[:, :16], sd["patch_embedding.weight"].numpy(), rtol=1e-6)
+    np.testing.assert_allclose(pe[:, 16:], 0.0)
+
+    # linear conversion: x @ w == torch W x
+    x = torch.randn(3, 16, generator=g)
+    want = (x @ sd["blocks.0.self_attn.q.weight"].T + sd["blocks.0.self_attn.q.bias"]).numpy()
+    wq = np.asarray(params["blocks"]["self_attn"]["q"]["w"])[0]
+    bq = np.asarray(params["blocks"]["self_attn"]["q"]["b"])[0]
+    np.testing.assert_allclose(x.numpy() @ wq + bq, want, rtol=1e-5)
+
+    # forward runs with converted params
+    from stableavatar_tpu.models.dit import dit_forward
+
+    out = dit_forward(
+        params, cfg,
+        jnp.zeros((1, 16, 1, 4, 4)), jnp.full((1,), 10.0),
+        jnp.zeros((1, 4, 16)), jnp.zeros((1, 3, 8)),
+        jnp.zeros((1, 20, 1, 4, 4)), jnp.zeros((1, 6, 8)),
+        video_sample_n_frames=1,
+    )
+    assert out.shape == (1, 16, 1, 4, 4)
+
+
+def test_color_correction_identity_and_full_match():
+    from stableavatar_tpu.utils.color_correction import (
+        lab_to_rgb,
+        match_and_blend_colors,
+        rgb_to_lab,
+    )
+
+    rng = np.random.default_rng(0)
+    rgb = rng.uniform(0, 1, (8, 8, 3))
+    back = lab_to_rgb(rgb_to_lab(rgb))
+    np.testing.assert_allclose(back, rgb, atol=1e-4)
+
+    chunk = rng.uniform(-1, 1, (1, 3, 2, 8, 8)).astype(np.float32)
+    ref = rng.uniform(-1, 1, (1, 3, 1, 8, 8)).astype(np.float32)
+    out0 = match_and_blend_colors(chunk, ref, 0.0)
+    np.testing.assert_array_equal(out0, chunk)
+    out1 = match_and_blend_colors(chunk, ref, 1.0)
+    assert out1.shape == chunk.shape
+    assert np.isfinite(out1).all()
+
+
+def test_random_masks():
+    from stableavatar_tpu.data.masks import get_random_mask
+
+    rng = np.random.default_rng(0)
+    m = get_random_mask((5, 3, 16, 16), image_start_only=True, rng=rng)
+    assert m.shape == (5, 1, 16, 16)
+    assert m[0].sum() == 0 and (m[1:] == 1).all()
+
+    for _ in range(20):
+        m = get_random_mask((8, 3, 16, 16), rng=rng)
+        assert m.shape == (8, 1, 16, 16)
+        assert m.dtype == np.uint8
+        assert m.max() <= 1
+
+
+def test_wav_roundtrip(tmp_path):
+    from stableavatar_tpu.utils.media import load_wav, save_wav
+
+    sr = 16000
+    t = np.linspace(0, 1, sr, endpoint=False)
+    wav = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    save_wav(p, wav, sr)
+    loaded, sr2 = load_wav(p, sr)
+    assert sr2 == sr
+    np.testing.assert_allclose(loaded, wav, atol=1e-3)
+
+    # resample path
+    loaded8k, _ = load_wav(p, 8000)
+    assert abs(len(loaded8k) - sr // 2) < 4
+
+
+def test_fm_solvers_recover_data_on_linear_field():
+    from stableavatar_tpu.schedulers.fm_solvers import (
+        FlowDPMSolverMultistep,
+        FlowUniPCMultistep,
+        MultistepState,
+    )
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((4, 4)).astype(np.float32))
+    z = jnp.asarray(rng.standard_normal((4, 4)).astype(np.float32))
+
+    for solver_cls in (FlowDPMSolverMultistep, FlowUniPCMultistep):
+        solver = solver_cls(num_steps=10)
+        x = z
+        state = MultistepState()
+        for i in range(10):
+            sigma = solver.sigmas[i]
+            # exact velocity for the straight path x_t = (1-s)x0 + s z
+            v = z - x0
+            x, state = solver.step(v, i, x, state)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x0), rtol=2e-2, atol=2e-3)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from stableavatar_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    tree = {"a": jnp.arange(10, dtype=jnp.float32), "b": {"c": jnp.ones((2, 2))}}
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, tree)
+    restored = restore_checkpoint(path, tree)
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.asarray(tree["a"]))
