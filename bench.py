@@ -44,7 +44,7 @@ def main():
     if small:
         cfg = DiTConfig(dim=128, ffn_dim=256, num_heads=8, num_layers=4,
                         audio_proj_dim=128, vocal_num_heads=8)
-        f, lh, lw = 5, 16, 16
+        f, lh, lw = 21, 8, 8
         steps_timed = 2
     else:
         f, lh, lw = 21, 64, 64  # 512x512 -> 21504 tokens
@@ -60,20 +60,36 @@ def main():
     y = jnp.asarray(np.random.randn(3, 20, f, lh, lw), jnp.bfloat16)
     vocal = jnp.asarray(np.random.randn(1, la, cfg.audio_in_dim), jnp.bfloat16)
 
-    @jax.jit
-    def step(params, x, t, text, clip_fea, y, vocal):
-        return dit_forward(
-            params, cfg, x, t, text, clip_fea, y, vocal,
-            video_sample_n_frames=81, vocal_cfg_tile=True,
-        )
+    # NOTE: on the tunneled TPU platform block_until_ready is a no-op and
+    # every dispatch pays a ~0.1-0.2 s RPC floor, so we amortize: N chained
+    # denoise steps inside ONE jit (lax.fori_loop), forced by a host read.
+    N_INNER = 8 if not small else 2
 
-    out = step(params, x, t, text, clip_fea, y, vocal)
-    out.block_until_ready()
+    @jax.jit
+    def steps_n(params, x, t, text, clip_fea, y, vocal):
+        def body(i, lat):
+            out = dit_forward(
+                params, cfg, lat, t, text, clip_fea, y, vocal,
+                video_sample_n_frames=81, vocal_cfg_tile=True,
+            )
+            return (lat.astype(jnp.float32) - 0.01 * out).astype(lat.dtype)
+
+        return jax.lax.fori_loop(0, N_INNER, body, x)
+
+    def force(a):
+        return float(jnp.sum(a[0, 0, 0, 0]))
+
+    out = steps_n(params, x, t, text, clip_fea, y, vocal)
+    force(out)  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(steps_timed):
-        out = step(params, x, t, text, clip_fea, y, vocal)
-    out.block_until_ready()
-    dit_step_s = (time.perf_counter() - t0) / steps_timed
+    out = steps_n(params, x, t, text, clip_fea, y, vocal)
+    force(out)
+    total = time.perf_counter() - t0
+    # subtract the RPC floor measured on an already-computed buffer
+    t0 = time.perf_counter()
+    force(out)
+    rpc_floor = time.perf_counter() - t0
+    dit_step_s = max(total - rpc_floor, 1e-9) / N_INNER
 
     # VAE decode: latent window -> frames
     vae_params = init_vae(jax.random.PRNGKey(1), vae_cfg)
@@ -84,11 +100,11 @@ def main():
     z = jnp.asarray(np.random.randn(1, vae_cfg.z_dim, zf, lh, lw), jnp.bfloat16)
     dec = jax.jit(lambda p, z: decode_video(p, z, vae_cfg))
     frames = dec(vae_params, z)
-    frames.block_until_ready()
+    float(jnp.sum(frames[0, 0, 0, 0]))  # compile + warm
     t0 = time.perf_counter()
     frames = dec(vae_params, z)
-    frames.block_until_ready()
-    vae_decode_s = time.perf_counter() - t0
+    float(jnp.sum(frames[0, 0, 0, 0]))
+    vae_decode_s = max(time.perf_counter() - t0 - rpc_floor, 1e-9)
     n_frames = frames.shape[2]
     vae_fps = n_frames / vae_decode_s
 

@@ -124,11 +124,12 @@ def _flash_fwd_impl(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
-                pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
-                pl.BlockSpec((1, block_k, d), lambda bh, iq, ik: (bh, ik, 0)),
+                # index maps receive (grid indices..., scalar-prefetch refs...)
+                pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0)),
+                pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0)),
+                pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0)),
             ],
-            out_specs=pl.BlockSpec((1, block_q, d), lambda bh, iq, ik: (bh, iq, 0)),
+            out_specs=pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0)),
             scratch_shapes=[
                 pltpu.VMEM((block_q, d), jnp.float32),
                 pltpu.VMEM((block_q, 128), jnp.float32),

@@ -53,36 +53,38 @@ def overlap_weights(n: int, scheme: str = "uniform") -> np.ndarray:
 
 
 def plan_windows(infer_length: int, frames_per_batch: int, overlap: int) -> List[Tuple[int, int]]:
-    """Static window schedule [(start, end)) replicating the reference inner
-    loop bounds (`:710-789`)."""
+    """Static window schedule [(start, end)).
+
+    Matches the reference inner-loop bounds (`:710-789`) except for the final
+    window: the reference lets it shrink to `infer_length - index_start`
+    frames, which breaks the per-latent-frame vocal attention whenever the
+    token count is not divisible by 21 (a latent crash in
+    `wan_fantasy_transformer3d_1B.py:575-585` for most audio durations).  We
+    instead shift the final window's start back so every window is full-size
+    — one compiled shape, larger final overlap, no crash, identical coverage.
+    """
+    if frames_per_batch >= infer_length:
+        return [(0, infer_length)]
     windows = []
     index_start = 0
-    index_end = min(frames_per_batch, infer_length)
-    if frames_per_batch > infer_length:
-        return [(0, infer_length)]
     while True:
-        windows.append((index_start, index_end))
-        if index_end == infer_length:
+        if index_start + frames_per_batch >= infer_length:
+            windows.append((infer_length - frames_per_batch, infer_length))
             break
+        windows.append((index_start, index_start + frames_per_batch))
         index_start = index_start + (frames_per_batch - overlap)
-        if index_start + frames_per_batch < infer_length:
-            index_end = index_start + frames_per_batch
-        else:
-            index_end = infer_length
     return windows
 
 
 def plan_audio_slices(
     windows, infer_length: int, samples_per_frame: int, total_samples: int
 ) -> List[np.ndarray]:
-    """Per-window raw-sample indices with modular wrap (`:716-723`)."""
+    """Per-window raw-sample indices with modular wrap (`:716-723`).  Uniform
+    window length keeps one wav2vec compilation for all windows."""
     out = []
-    for wi, (s, e) in enumerate(windows):
-        if e == infer_length and wi == len(windows) - 1 and e * 4 * samples_per_frame >= total_samples:
-            idx = np.arange(s * 4 * samples_per_frame, total_samples)
-        else:
-            n = (e - s) * 4 * samples_per_frame
-            idx = np.arange(s * 4 * samples_per_frame, s * 4 * samples_per_frame + n)
+    for s, e in windows:
+        n = (e - s) * 4 * samples_per_frame
+        idx = np.arange(s * 4 * samples_per_frame, s * 4 * samples_per_frame + n)
         out.append(np.mod(idx, total_samples))
     return out
 

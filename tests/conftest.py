@@ -12,11 +12,16 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# Force CPU: the session environment pins JAX_PLATFORMS to the remote TPU
-# tunnel, which would make every test compile over RPC.
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+
+# The session sitecustomize imports jax and pins JAX_PLATFORMS to the remote
+# TPU tunnel BEFORE conftest runs, so env vars alone don't stick — config
+# updates do (they apply until first backend use): force an 8-device CPU
+# platform so tests never compile over RPC.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/stableavatar_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)

@@ -52,12 +52,13 @@ def test_overlap_weights_schemes():
 def test_plan_audio_slices_wraps_modularly():
     windows = [(0, 3), (2, 5)]
     slices = plan_audio_slices(windows, 5, samples_per_frame=4, total_samples=70)
-    # first window: frames 0..3 -> 3*4 video frames -> 48 samples
-    assert len(slices[0]) == 48
+    # uniform window length: 3 latent frames -> 12 video frames -> 48 samples
+    assert len(slices[0]) == 48 and len(slices[1]) == 48
     assert slices[0][0] == 0
-    # last window starts at latent 2 -> sample 2*4*4=32, runs to total_samples
+    # last window starts at latent 2 -> sample 2*4*4=32; runs past the end and
+    # wraps modularly (reference `:719` semantics)
     assert slices[1][0] == 32
-    assert slices[1][-1] == 69
+    assert slices[1][-1] == (32 + 47) % 70
 
 
 # --- tiny end-to-end ---

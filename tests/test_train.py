@@ -49,15 +49,15 @@ def test_train_step_decreases_nothing_but_runs_and_updates():
     opt_state = tx.init(params)
     step = make_train_step(TINY, tc, tx, train_sigmas())
 
-    before = params["head"]["head"]["w"]
+    before = np.asarray(params["head"]["head"]["w"]).copy()  # donated below
     new_params, opt_state, metrics = step(
         params, opt_state, _batch(), jax.random.PRNGKey(1), jnp.asarray(0)
     )
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["grad_norm"]))
     # head weight is zero-init; gradient should move it
-    after = new_params["head"]["head"]["w"]
-    assert float(jnp.abs(after - before).max()) > 0.0
+    after = np.asarray(new_params["head"]["head"]["w"])
+    assert float(np.abs(after - before).max()) > 0.0
 
 
 def test_masked_flow_loss_weighting_modes():
