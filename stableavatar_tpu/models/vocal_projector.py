@@ -126,7 +126,10 @@ def _linear(key, d_in, d_out, bias=True, init="xavier", zero=False):
 
 
 def apply_linear(p, x):
-    y = x @ p["w"].astype(x.dtype)
+    w = p["w"]
+    if isinstance(w, dict):  # int8-quantized storage (utils/quantization.py)
+        w = w["q"].astype(x.dtype) * w["s"].astype(x.dtype)
+    y = x @ w.astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

@@ -60,12 +60,15 @@ def attention(
 
 
 def _use_pallas(q: jnp.ndarray, k: jnp.ndarray) -> bool:
-    """Heuristic: use the Pallas kernel on TPU for large self-attention shapes
-    where tiling is profitable and shapes align to the lane width."""
+    """Use the Pallas kernel on TPU for long-query attention.  XLA's
+    dot_product_attention materializes the full [B,N,Lq,Lk] fp32 logits
+    (66 GB at the 21.5k-token DiT self-attention — measured OOM), so every
+    long-Lq call must go through the flash kernel; short-Lq calls (vocal
+    per-frame, VAE) are fine on XLA."""
     if jax.default_backend() != "tpu":
         return False
-    lq, lk, d = q.shape[1], k.shape[1], q.shape[3]
-    return lq >= 1024 and lk >= 1024 and d % 64 == 0
+    lq, d = q.shape[1], q.shape[3]
+    return lq >= 2048 and d % 64 == 0
 
 
 def _xla_attention(

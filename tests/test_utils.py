@@ -207,3 +207,32 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     save_checkpoint(path, tree)
     restored = restore_checkpoint(path, tree)
     np.testing.assert_array_equal(np.asarray(restored["a"]), np.asarray(tree["a"]))
+
+
+def test_quantization_roundtrip_and_apply():
+    from stableavatar_tpu.models.vocal_projector import apply_linear
+    from stableavatar_tpu.utils.quantization import (
+        dequantize_params,
+        is_quantized,
+        quantize_params,
+    )
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((512, 256)).astype(np.float32))
+    params = {"layer": {"w": w, "b": jnp.zeros((256,))}}
+    qp = quantize_params(params, min_size=1024)
+    assert is_quantized(qp["layer"]["w"])
+    assert qp["layer"]["w"]["q"].dtype == jnp.int8
+
+    # dequant error bounded by per-channel scale (max|w|/127)
+    deq = dequantize_params(qp, jnp.float32)
+    err = np.abs(np.asarray(deq["layer"]["w"]) - np.asarray(w))
+    bound = np.abs(np.asarray(w)).max(axis=0, keepdims=True) / 127.0
+    assert (err <= bound + 1e-6).all()
+
+    # apply_linear transparently consumes quantized weights
+    x = jnp.asarray(rng.standard_normal((4, 512)).astype(np.float32))
+    y_ref = np.asarray(apply_linear(params["layer"], x))
+    y_q = np.asarray(apply_linear(qp["layer"], x))
+    rel = np.abs(y_q - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
+    assert rel < 0.05, rel
