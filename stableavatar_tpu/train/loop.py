@@ -130,6 +130,28 @@ class CheckpointManager:
         return restore_checkpoint(path, template)
 
 
+def log_validation(models: WanModels, validation_cfg: dict, output_dir: str, step: int):
+    """In-training validation: run the single-clip pipeline and save an mp4
+    (reference `log_validation`, `train_1B_square.py:192-275,1364-1382`)."""
+    from stableavatar_tpu.pipelines.single_clip import generate_single_clip
+    from stableavatar_tpu.utils.video_io import save_videos_grid
+
+    out = generate_single_clip(
+        models,
+        ref_image=validation_cfg["ref_image"],
+        vocal_waveform=validation_cfg["vocal_waveform"],
+        prompt_ids=validation_cfg.get("prompt_ids"),
+        negative_prompt_ids=validation_cfg.get("negative_prompt_ids"),
+        text_ctx=validation_cfg.get("text_ctx"),
+        num_inference_steps=validation_cfg.get("num_inference_steps", 20),
+        clip_length=validation_cfg.get("clip_length", 81),
+        seed=validation_cfg.get("seed", 42),
+    )
+    path = os.path.join(output_dir, f"validation_step{step}.mp4")
+    save_videos_grid(out.videos, path, fps=validation_cfg.get("fps", 25))
+    return path
+
+
 def train(
     models: WanModels,
     batches: Iterable[dict],
@@ -142,6 +164,8 @@ def train(
     resume_from_checkpoint: Optional[str] = "latest",
     log_every: int = 10,
     seed: int = 42,
+    validation_steps: Optional[int] = None,
+    validation_cfg: Optional[dict] = None,
 ):
     """Main loop (reference `main()` §3.4)."""
     os.makedirs(output_dir, exist_ok=True)
@@ -164,6 +188,10 @@ def train(
     rng = np.random.default_rng(seed)
     history = []
 
+    from stableavatar_tpu.utils.metrics import MetricsLogger
+
+    logger = MetricsLogger(output_dir)
+
     t0 = time.time()
     for batch in batches:
         if step >= max_train_steps:
@@ -175,9 +203,14 @@ def train(
         if step % log_every == 0:
             loss = float(metrics["loss"])
             history.append({"step": step, "loss": loss, "time": time.time() - t0})
+            logger.log(step, {"train_loss": loss, "grad_norm": float(metrics["grad_norm"])})
             print(f"step {step} loss {loss:.5f} gnorm {float(metrics['grad_norm']):.4f}")
         if step % checkpointing_steps == 0:
             cm.save(step, params, opt_state)
+        if validation_steps and validation_cfg and step % validation_steps == 0:
+            models.dit_params = params
+            log_validation(models, validation_cfg, output_dir, step)
+    logger.close()
 
     models.dit_params = params
     return params, opt_state, history

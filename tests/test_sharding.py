@@ -74,3 +74,33 @@ def test_param_sharding_spec_rules():
     assert param_sharding_spec(small, 4) == P()
     odd = jnp.zeros((4097, 333))
     assert param_sharding_spec(odd, 4) == P()
+
+
+@requires_8
+def test_ring_attention_matches_full():
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from stableavatar_tpu.ops.attention import attention
+    from stableavatar_tpu.ops.ring_attention import ring_attention
+    from stableavatar_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=1, fsdp=1, sp=8)
+    key = jax.random.PRNGKey(0)
+    b, l, n, d = 2, 64, 2, 16
+    q = jax.random.normal(key, (b, l, n, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, l, n, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, l, n, d))
+
+    want = attention(q, k, v, backend="xla")
+
+    fn = shard_map(
+        partial(ring_attention, axis_name="sp"),
+        mesh=mesh,
+        in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp")),
+        out_specs=P(None, "sp"),
+    )
+    got = jax.jit(fn)(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
