@@ -32,7 +32,8 @@ def main():
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 5)
     print("init params...", flush=True)
-    t5_cfg = T5Config(num_layers=2, dim=256, dim_attn=256, dim_ffn=512, num_heads=4, vocab=1024)
+    # tiny-depth T5 with the real 4096 text_dim (DiT expects text_dim=4096)
+    t5_cfg = T5Config(num_layers=2, dim=4096, dim_attn=512, dim_ffn=1024, num_heads=8, vocab=1024)
 
     teacache = None
     if use_teacache:
@@ -45,11 +46,11 @@ def main():
         dit_cfg=WAN_1_3B,
         vae_params=cast_params(init_vae(ks[1], VAEConfig()), jnp.bfloat16),
         vae_cfg=VAEConfig(),
-        t5_params=init_t5(ks[2], t5_cfg),  # tiny T5: this smoke tests the video path
+        t5_params=cast_params(init_t5(ks[2], t5_cfg), jnp.bfloat16),
         t5_cfg=t5_cfg,
-        clip_params=init_clip_visual(ks[3], CLIPConfig()),
+        clip_params=cast_params(init_clip_visual(ks[3], CLIPConfig()), jnp.bfloat16),
         clip_cfg=CLIPConfig(),
-        wav2vec_params=init_wav2vec2(ks[4], Wav2Vec2Config()),
+        wav2vec_params=cast_params(init_wav2vec2(ks[4], Wav2Vec2Config()), jnp.bfloat16),
         wav2vec_cfg=Wav2Vec2Config(),
         tokenizer=lambda s: (np.ones(512, np.int32), np.ones(512, np.int32)),
         teacache=teacache,

@@ -133,9 +133,12 @@ def init_dit(key: jax.Array, cfg: DiTConfig):
 
 
 def cast_params(params, dtype=jnp.bfloat16):
-    """Cast floating-point leaves (bf16 for TPU inference/training)."""
+    """Cast floating-point array leaves (bf16 for TPU inference/training);
+    python scalars (e.g. VAE norm scales) pass through."""
     return jax.tree.map(
-        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
         params,
     )
 
