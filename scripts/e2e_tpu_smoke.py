@@ -70,8 +70,13 @@ def main():
         num_inference_steps=steps,
         overlap_window_length=15,
         seed=0,
+        output_type=("latent" if "--latent-only" in sys.argv else "numpy"),
     )
     dt = time.time() - t0
+    if out.videos is None:
+        lat = np.asarray(out.latents)
+        print(f"latents done in {dt:.1f}s: {lat.shape} finite={np.isfinite(lat).all()}", flush=True)
+        return
     v = out.videos
     print(f"done in {dt:.1f}s: shape={v.shape} finite={np.isfinite(v).all()} "
           f"range=[{v.min():.3f},{v.max():.3f}]", flush=True)

@@ -441,11 +441,16 @@ def encode_chunks(params, video, cfg: VAEConfig = VAEConfig()):
     return mu, logvar
 
 
-def decode_chunks(params, z, cfg: VAEConfig = VAEConfig()):
+def decode_chunks(params, z, cfg: VAEConfig = VAEConfig(), frames_per_step: int = 1):
     """z [B, Tl, h, w, zdim] (normalized latents) -> video [B, 1+4(Tl-1), H, W, 3].
 
     Mirrors the reference decode loop (`wan_vae.py:549-574`): denormalize,
-    1x1 conv2, then decode latent-frame-by-frame with the cache carry.
+    1x1 conv2, then first latent frame alone, then the cache-carried scan.
+
+    `frames_per_step` groups latent frames per scan step — mathematically
+    identical for the stride-1 causal convs (the 2-frame cache makes chunk
+    boundaries invisible; equality asserted in tests) but gives the TPU
+    bigger tensors per dispatch.  A remainder group runs as one extra call.
     """
     b, tl, h, w, _ = z.shape
     mean = jnp.asarray(cfg.latent_mean, dtype=z.dtype)
@@ -457,21 +462,29 @@ def decode_chunks(params, z, cfg: VAEConfig = VAEConfig()):
     ctx0 = _Cache(_init_caches(dec, x[:, :1], cfg, decoder_apply, True))
     f0 = decoder_apply(dec, x[:, :1], ctx0, cfg, first_chunk=True)
     caches = ctx0.caches_out
+    parts = [f0]
 
-    if tl > 1:
-        rest = jnp.moveaxis(x[:, 1:, None], 1, 0)  # [Tl-1, B, 1, h, w, z]
+    n_rest = tl - 1
+    g = max(1, frames_per_step)
+    n_groups, rem = divmod(n_rest, g)
 
-        def step(caches, zc):
-            ctx = _Cache(caches)
-            f = decoder_apply(dec, zc, ctx, cfg, first_chunk=False)
-            return ctx.caches_out, f
+    def step(caches, zc):
+        ctx = _Cache(caches)
+        f = decoder_apply(dec, zc, ctx, cfg, first_chunk=False)
+        return ctx.caches_out, f
 
-        caches, fs = jax.lax.scan(step, caches, rest)
-        # fs: [Tl-1, B, 4, H, W, 3]
+    if n_groups > 0:
+        body = x[:, 1 : 1 + n_groups * g]
+        body = body.reshape(b, n_groups, g, h, w, body.shape[-1])
+        body = jnp.moveaxis(body, 1, 0)  # [n_groups, B, g, h, w, z]
+        caches, fs = jax.lax.scan(step, caches, body)
         fs = jnp.moveaxis(fs, 0, 1).reshape(b, -1, *fs.shape[3:])
-        frames = jnp.concatenate([f0, fs], axis=1)
-    else:
-        frames = f0
+        parts.append(fs)
+    if rem > 0:
+        caches, f_rem = step(caches, x[:, 1 + n_groups * g :])
+        parts.append(f_rem)
+
+    frames = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     return jnp.clip(frames, -1.0, 1.0)
 
 
@@ -490,8 +503,15 @@ def encode_video(params, video_ncthw, cfg: VAEConfig = VAEConfig()):
     return jnp.transpose(mu, (0, 4, 1, 2, 3))
 
 
-def decode_video(params, z_nczhw, cfg: VAEConfig = VAEConfig()):
-    """z [B, z, Tl, h, w] -> video [B, 3, T, H, W] in [-1, 1]."""
+def decode_video(params, z_nczhw, cfg: VAEConfig = VAEConfig(), frames_per_step=None):
+    """z [B, z, Tl, h, w] -> video [B, 3, T, H, W] in [-1, 1].
+
+    frames_per_step=None picks the largest group that keeps full-resolution
+    decode activations within budget alongside resident model params
+    (~0.8 GB of [g*4, H, W, 96] bf16 on a 16 GB chip)."""
     z = jnp.transpose(z_nczhw, (0, 2, 3, 4, 1))
-    frames = decode_chunks(params, z, cfg)
+    if frames_per_step is None:
+        lh, lw = z.shape[2], z.shape[3]
+        frames_per_step = max(1, min(4, (4 * 48 * 48) // max(lh * lw, 1)))
+    frames = decode_chunks(params, z, cfg, frames_per_step=frames_per_step)
     return jnp.transpose(frames, (0, 4, 1, 2, 3))

@@ -283,7 +283,9 @@ def generate_long(
     if output_type == "latent":
         return LongPipelineOutput(videos=None, latents=latents)
 
-    frames = decode_video(models.vae_params, latents, models.vae_cfg)
+    # decode in the VAE dtype like the reference (`decode_latents` casts to
+    # vae.dtype, wan_inference_long_pipeline.py:425) — halves decode HBM
+    frames = decode_video(models.vae_params, latents_all.astype(jnp.bfloat16), models.vae_cfg)
     video = np.asarray(frames, dtype=np.float32) / 2.0 + 0.5
     video = np.clip(video, 0.0, 1.0)
     return LongPipelineOutput(videos=video, latents=latents)

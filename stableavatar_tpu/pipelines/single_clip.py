@@ -122,9 +122,10 @@ def generate_single_clip(
             float(audio_cfg_scale),
         )
 
-    latents = latents.astype(jnp.float32)
+    lat_f32 = latents.astype(jnp.float32)
     if output_type == "latent":
-        return SingleClipOutput(videos=None, latents=latents)
-    frames = decode_video(models.vae_params, latents, models.vae_cfg)
+        return SingleClipOutput(videos=None, latents=lat_f32)
+    frames = decode_video(models.vae_params, latents.astype(jnp.bfloat16), models.vae_cfg)
+    latents = lat_f32
     video = np.clip(np.asarray(frames, np.float32) / 2.0 + 0.5, 0.0, 1.0)
     return SingleClipOutput(videos=video, latents=latents)

@@ -84,3 +84,18 @@ def test_single_frame_image(setup):
         want = oracle.encode(torch.from_numpy(video)).numpy()
     got = np.asarray(encode_video(params, jnp.asarray(video), TINY))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_decode_grouping_invariance(setup):
+    """Multi-frame-per-step decode must equal frame-by-frame decode (the
+    2-frame causal cache makes chunk boundaries invisible)."""
+    from stableavatar_tpu.models.vae import decode_chunks
+
+    params, _ = setup
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.standard_normal((1, 6, 4, 4, 2)).astype(np.float32))
+
+    ref = decode_chunks(params, z, TINY, frames_per_step=1)
+    for g in (2, 3, 4):
+        got = decode_chunks(params, z, TINY, frames_per_step=g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
