@@ -214,3 +214,24 @@ def test_flash_attention_kernel_interpret_matches_xla():
 
     want = attention(q, k, v, k_lens=k_lens, backend="xla")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_riflex_rope_frequency_reduction():
+    """RIFLEx (ref :235-292): the k-th intrinsic temporal frequency is clamped
+    to 0.9 * 2pi / L_test (optionally scaled) for length extrapolation."""
+    from stableavatar_tpu.ops.rope import _axis_freqs
+
+    base = _axis_freqs(8)
+    rif = _axis_freqs(8, riflex_k=3, riflex_L_test=66)
+    np.testing.assert_allclose(rif[2], 0.9 * 2 * np.pi / 66, rtol=1e-9)
+    # other frequencies untouched
+    mask = np.ones(8, bool); mask[2] = False
+    np.testing.assert_allclose(rif[mask], base[mask])
+
+    scaled = _axis_freqs(8, riflex_k=3, riflex_L_test=66, riflex_scale=4.886)
+    np.testing.assert_allclose(scaled[2], 0.9 * 2 * np.pi / 66 / 4.886, rtol=1e-9)
+
+    # full pipeline integration: riflex freqs drive rope_apply without error
+    freqs = rope_freqs_3d((4, 2, 2), 24, riflex_k=2, riflex_L_test=66)
+    out = rope_apply(jnp.ones((1, 16, 1, 24)), freqs)
+    assert np.isfinite(np.asarray(out)).all()
