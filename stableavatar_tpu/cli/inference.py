@@ -129,6 +129,17 @@ def load_models(args):
 
     w2v_cfg = Wav2Vec2Config()
     if args.pretrained_wav2vec_path and os.path.isdir(args.pretrained_wav2vec_path):
+        # honor the checkpoint's processor normalization setting
+        pc = os.path.join(args.pretrained_wav2vec_path, "preprocessor_config.json")
+        if os.path.exists(pc):
+            import json
+
+            with open(pc) as f:
+                import dataclasses
+
+                w2v_cfg = dataclasses.replace(
+                    w2v_cfg, do_normalize=bool(json.load(f).get("do_normalize", True))
+                )
         import glob
 
         files = glob.glob(os.path.join(args.pretrained_wav2vec_path, "*.bin")) + glob.glob(

