@@ -52,6 +52,7 @@ class TrainConfig:
     shift: float = 5.0
     remat: bool = True
     video_sample_n_frames: int = 81
+    use_8bit_adam: bool = False
 
 
 def train_sigmas(num_train_timesteps: int = 1000, shift: float = 5.0) -> jnp.ndarray:
@@ -83,13 +84,21 @@ def trainable_mask(params, train_all: bool = False):
 
 
 def make_optimizer(cfg: TrainConfig, mask=None) -> optax.GradientTransformation:
-    tx = optax.adamw(
-        learning_rate=cfg.learning_rate,
-        b1=cfg.adam_beta1,
-        b2=cfg.adam_beta2,
-        eps=cfg.adam_eps,
-        weight_decay=cfg.weight_decay,
-    )
+    if cfg.use_8bit_adam:
+        from stableavatar_tpu.train.adam8bit import adamw8bit
+
+        tx = adamw8bit(
+            cfg.learning_rate, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
+            cfg.weight_decay,
+        )
+    else:
+        tx = optax.adamw(
+            learning_rate=cfg.learning_rate,
+            b1=cfg.adam_beta1,
+            b2=cfg.adam_beta2,
+            eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay,
+        )
     if mask is not None:
         tx = optax.masked(tx, mask)
     return tx

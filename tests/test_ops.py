@@ -235,3 +235,44 @@ def test_riflex_rope_frequency_reduction():
     freqs = rope_freqs_3d((4, 2, 2), 24, riflex_k=2, riflex_L_test=66)
     out = rope_apply(jnp.ones((1, 16, 1, 24)), freqs)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flash_attention_backward_interpret_matches_xla():
+    """Pallas backward kernels vs XLA attention VJP, interpreter mode."""
+    from unittest import mock
+
+    from stableavatar_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(7)
+    b, lq, lk, n, d = 1, 256, 256, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, lq, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, lk, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, lk, n, d)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((b, lq, n, d)).astype(np.float32))
+    k_lens = jnp.array([200], dtype=jnp.int32)
+
+    orig = fa.pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    with mock.patch.object(fa.pl, "pallas_call", interp_call):
+        def f(q, k, v):
+            return fa.flash_attention(q, k, v, k_lens=k_lens, block_q=128, block_k=128)
+
+        out, vjp = jax.vjp(f, q, k, v)
+        dq, dk, dv = vjp(g)
+
+    def f_ref(q, k, v):
+        return jax.nn.dot_product_attention(
+            q, k, v, key_value_seq_lengths=k_lens, implementation="xla"
+        )
+
+    out_ref, vjp_ref = jax.vjp(f_ref, q, k, v)
+    dq_r, dk_r, dv_r = vjp_ref(g)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_r), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_r), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_r), rtol=2e-3, atol=2e-3)

@@ -162,3 +162,34 @@ def test_teacache_controller():
     assert isinstance(r, bool)
     tc.store(jnp.zeros((1, 4, 8)))
     assert tc.residual is not None
+
+
+def test_adam8bit_matches_adamw_direction():
+    """8-bit Adam must track fp32 AdamW closely at step 1 (identical modulo
+    int8 quantization of nu)."""
+    import optax
+
+    from stableavatar_tpu.train.adam8bit import adamw8bit
+
+    rng = np.random.default_rng(0)
+    params = {"w": jnp.asarray(rng.standard_normal((16, 128)).astype(np.float32))}
+    grads = {"w": jnp.asarray(rng.standard_normal((16, 128)).astype(np.float32))}
+
+    tx8 = adamw8bit(1e-3, weight_decay=0.0)
+    txf = optax.adamw(1e-3, b1=0.9, b2=0.999, eps=1e-10, weight_decay=0.0)
+
+    s8 = tx8.init(params)
+    sf = txf.init(params)
+    u8, _ = tx8.update(grads, s8, params)
+    uf, _ = txf.update(grads, sf, params)
+    np.testing.assert_allclose(np.asarray(u8["w"]), np.asarray(uf["w"]), rtol=0.05, atol=1e-5)
+
+
+def test_adam8bit_state_is_int8():
+    from stableavatar_tpu.train.adam8bit import adamw8bit
+
+    params = {"w": jnp.ones((8, 256))}
+    tx = adamw8bit(1e-3)
+    state = tx.init(params)
+    assert state[0].nu["w"].q.dtype == jnp.int8
+    assert state[0].mu["w"].dtype == jnp.bfloat16
