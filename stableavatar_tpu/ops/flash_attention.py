@@ -47,7 +47,7 @@ def _fwd_kernel(
     k_ref,  # [1, BK, D]
     v_ref,  # [1, BK, D]
     o_ref,  # [1, BQ, D]
-    lse_ref,  # [1, BQ]
+    lse_ref,  # [1, BQ, 128] (value broadcast over lanes; lane 0 read back)
     acc_ref,  # [BQ, D] f32
     m_ref,  # [BQ, 128] f32
     l_ref,  # [BQ, 128] f32
@@ -97,7 +97,8 @@ def _fwd_kernel(
     def _finalize():
         l = jnp.maximum(l_ref[:, :1], 1e-30)
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
-        lse_ref[0] = (m_ref[:, 0] + jnp.log(l[:, 0])).astype(lse_ref.dtype)
+        # TPU blocks need lane-aligned outputs: broadcast over 128 lanes
+        lse_ref[0] = jnp.broadcast_to(m_ref[:, :1] + jnp.log(l), lse_ref.shape[1:])
 
 
 def _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k):
@@ -131,7 +132,7 @@ def _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k):
             ],
             out_specs=[
                 pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0)),
-                pl.BlockSpec((1, block_q), lambda bh, iq, ik, *_: (bh, iq)),
+                pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik, *_: (bh, iq, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((block_q, d), jnp.float32),
@@ -141,7 +142,7 @@ def _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k):
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b * n, lqp, d), q.dtype),
-            jax.ShapeDtypeStruct((b * n, lqp), jnp.float32),
+            jax.ShapeDtypeStruct((b * n, lqp, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n * lqp * lkp * d,
@@ -165,8 +166,8 @@ def _bwd_dkdv_kernel(
     k_ref,  # [1, BK, D]
     v_ref,  # [1, BK, D]
     do_ref,  # [1, BQ, D]
-    lse_ref,  # [1, BQ]
-    delta_ref,  # [1, BQ]
+    lse_ref,  # [1, BQ, 128]
+    delta_ref,  # [1, BQ, 128]
     dk_ref,  # [1, BK, D] out
     dv_ref,  # [1, BK, D] out
     dk_acc,  # [BK, D] f32 scratch
@@ -189,8 +190,8 @@ def _bwd_dkdv_kernel(
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0]
-    delta = delta_ref[0]
+    lse = lse_ref[0][:, :1]  # [BQ, 1]
+    delta = delta_ref[0][:, :1]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -199,8 +200,8 @@ def _bwd_dkdv_kernel(
     klen = klens_ref[b]
     col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < klen, s, NEG_INF)
-    p = jnp.exp(s - lse[:, None])  # softmax probs (0 for masked / padded rows)
-    p = jnp.where(lse[:, None] > NEG_INF / 2, p, 0.0)  # guard degenerate rows
+    p = jnp.exp(s - lse)  # softmax probs (0 for masked / padded rows)
+    p = jnp.where(lse > NEG_INF / 2, p, 0.0)  # guard degenerate rows
 
     dv_acc[:] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -209,7 +210,7 @@ def _bwd_dkdv_kernel(
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - delta[:, None]) * scale  # [BQ, BK]
+    ds = p * (dp - delta) * scale  # [BQ, BK]
     dk_acc[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -227,8 +228,8 @@ def _bwd_dq_kernel(
     k_ref,  # [1, BK, D]
     v_ref,  # [1, BK, D]
     do_ref,  # [1, BQ, D]
-    lse_ref,  # [1, BQ]
-    delta_ref,  # [1, BQ]
+    lse_ref,  # [1, BQ, 128]
+    delta_ref,  # [1, BQ, 128]
     dq_ref,  # [1, BQ, D] out
     dq_acc,  # [BQ, D] f32 scratch
     *,
@@ -247,8 +248,8 @@ def _bwd_dq_kernel(
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0]
-    delta = delta_ref[0]
+    lse = lse_ref[0][:, :1]  # [BQ, 1]
+    delta = delta_ref[0][:, :1]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -257,13 +258,13 @@ def _bwd_dq_kernel(
     klen = klens_ref[b]
     col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < klen, s, NEG_INF)
-    p = jnp.exp(s - lse[:, None])
-    p = jnp.where(lse[:, None] > NEG_INF / 2, p, 0.0)
+    p = jnp.exp(s - lse)
+    p = jnp.where(lse > NEG_INF / 2, p, 0.0)
 
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - delta[:, None]) * scale
+    ds = p * (dp - delta) * scale
     dq_acc[:] += jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -291,8 +292,10 @@ def _flash_bwd_impl(q, k, v, k_lens, out, lse, g, scale, block_q, block_k):
     dop = to_bh(g, pad_q, lqp)
     op = to_bh(out, pad_q, lqp)
 
-    # delta = rowsum(dO * O): cheap fused elementwise reduction
+    # delta = rowsum(dO * O): cheap fused elementwise reduction, broadcast
+    # over 128 lanes for TPU block alignment (matching the fwd LSE layout)
     delta = jnp.sum(dop.astype(jnp.float32) * op.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[:, :, None], (*delta.shape, 128))
 
     klens32 = k_lens.astype(jnp.int32)
     nq, nk = lqp // block_q, lkp // block_k
@@ -308,8 +311,8 @@ def _flash_bwd_impl(q, k, v, k_lens, out, lse, g, scale, block_q, block_k):
                 pl.BlockSpec((1, block_k, d), lambda bh, ik, iq, *_: (bh, ik, 0)),
                 pl.BlockSpec((1, block_k, d), lambda bh, ik, iq, *_: (bh, ik, 0)),
                 pl.BlockSpec((1, block_q, d), lambda bh, ik, iq, *_: (bh, iq, 0)),
-                pl.BlockSpec((1, block_q), lambda bh, ik, iq, *_: (bh, iq)),
-                pl.BlockSpec((1, block_q), lambda bh, ik, iq, *_: (bh, iq)),
+                pl.BlockSpec((1, block_q, 128), lambda bh, ik, iq, *_: (bh, iq, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda bh, ik, iq, *_: (bh, iq, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, block_k, d), lambda bh, ik, iq, *_: (bh, ik, 0)),
@@ -336,8 +339,8 @@ def _flash_bwd_impl(q, k, v, k_lens, out, lse, g, scale, block_q, block_k):
                 pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0)),
                 pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0)),
                 pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0)),
-                pl.BlockSpec((1, block_q), lambda bh, iq, ik, *_: (bh, iq)),
-                pl.BlockSpec((1, block_q), lambda bh, iq, ik, *_: (bh, iq)),
+                pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik, *_: (bh, iq, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik, *_: (bh, iq, 0)),
             ],
             out_specs=pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0)),
             scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
