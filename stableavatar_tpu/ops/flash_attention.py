@@ -47,7 +47,7 @@ def _fwd_kernel(
     k_ref,  # [1, BK, D]
     v_ref,  # [1, BK, D]
     o_ref,  # [1, BQ, D]
-    lse_ref,  # [1, BQ, 128] (value broadcast over lanes; lane 0 read back)
+    lse_ref,  # [1, BQ, 128] or None (value broadcast over lanes; lane 0 read)
     acc_ref,  # [BQ, D] f32
     m_ref,  # [BQ, 128] f32
     l_ref,  # [BQ, 128] f32
@@ -97,11 +97,12 @@ def _fwd_kernel(
     def _finalize():
         l = jnp.maximum(l_ref[:, :1], 1e-30)
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
-        # TPU blocks need lane-aligned outputs: broadcast over 128 lanes
-        lse_ref[0] = jnp.broadcast_to(m_ref[:, :1] + jnp.log(l), lse_ref.shape[1:])
+        if lse_ref is not None:
+            # TPU blocks need lane-aligned outputs: broadcast over 128 lanes
+            lse_ref[0] = jnp.broadcast_to(m_ref[:, :1] + jnp.log(l), lse_ref.shape[1:])
 
 
-def _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k):
+def _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k, with_lse=True):
     b, lq, n, d = q.shape
     lk = k.shape[1]
 
@@ -120,7 +121,22 @@ def _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k):
     grid = (b * n, lqp // block_q, lkp // block_k)
     kernel = functools.partial(_fwd_kernel, scale=scale, block_k=block_k, num_heads=n)
 
-    out, lse = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0))]
+    out_shape = [jax.ShapeDtypeStruct((b * n, lqp, d), q.dtype)]
+    if with_lse:
+        out_specs.append(
+            pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik, *_: (bh, iq, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((b * n, lqp, 128), jnp.float32))
+    else:
+        # primal-only path: skip the LSE write (saves an [BH, Lq, 128] f32
+        # store per call — ~400 MB at the DiT self-attention shape)
+        inner = kernel
+
+        def kernel(klens, qr, kr, vr, orf, acc, m, l):  # noqa: F811
+            return inner(klens, qr, kr, vr, orf, None, acc, m, l)
+
+    results = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -130,20 +146,14 @@ def _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k):
                 pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0)),
                 pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0)),
             ],
-            out_specs=[
-                pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0)),
-                pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik, *_: (bh, iq, 0)),
-            ],
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((block_q, d), jnp.float32),
                 pltpu.VMEM((block_q, 128), jnp.float32),
                 pltpu.VMEM((block_q, 128), jnp.float32),
             ],
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((b * n, lqp, d), q.dtype),
-            jax.ShapeDtypeStruct((b * n, lqp, 128), jnp.float32),
-        ],
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n * lqp * lkp * d,
             bytes_accessed=2 * b * n * (lqp + 2 * lkp) * d,
@@ -151,6 +161,8 @@ def _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k):
         ),
     )(k_lens.astype(jnp.int32), qp, kp, vp)
 
+    out = results[0]  # out_shape is a list, so results is always a sequence
+    lse = results[1] if with_lse else None
     out = out.reshape(b, n, lqp, d).transpose(0, 2, 1, 3)[:, :lq]
     return out, lse  # lse stays in [B*N, Lq_padded] layout for the backward
 
@@ -361,7 +373,7 @@ def _flash_bwd_impl(q, k, v, k_lens, out, lse, g, scale, block_q, block_k):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _flash(q, k, v, k_lens, scale, block_q, block_k):
-    out, _ = _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k)
+    out, _ = _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k, with_lse=False)
     return out
 
 
