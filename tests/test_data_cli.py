@@ -1,0 +1,136 @@
+"""Dataset (synthetic clip dirs), YAML config loader, CLI arg surface."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+@pytest.fixture
+def clip_dir(tmp_path):
+    import cv2
+
+    from stableavatar_tpu.utils.media import save_wav
+
+    root = tmp_path / "data"
+    clip = root / "speech_clip_000"
+    (clip / "images").mkdir(parents=True)
+    (clip / "face_masks").mkdir()
+    (clip / "lip_masks").mkdir()
+
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        frame = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        cv2.imwrite(str(clip / "images" / f"{i:05d}.png"), frame)
+        mask = (rng.random((32, 32)) > 0.5).astype(np.uint8) * 255
+        cv2.imwrite(str(clip / "face_masks" / f"{i:05d}.png"), mask)
+        cv2.imwrite(str(clip / "lip_masks" / f"{i:05d}.png"), mask)
+
+    wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    save_wav(str(clip / "audio.wav"), wav, 16000)
+
+    index = root / "index.txt"
+    index.write_text(str(clip) + "\n")
+    return str(index)
+
+
+def test_dataset_sample_schema(clip_dir):
+    from stableavatar_tpu.data.dataset import TalkingVideoDataset
+
+    ds = TalkingVideoDataset(clip_dir, sample_size=(32, 32), clip_length=9, seed=0)
+    assert len(ds) == 1
+    s = ds[0]
+    assert s["pixel_values"].shape == (3, 9, 32, 32)
+    assert s["reference_image"].shape == (3, 1, 32, 32)
+    assert s["tgt_face_masks"].shape == (1, 9, 32, 32)
+    assert s["vocal_input_values"].shape == (9 * 640,)
+    assert s["text_prompt"] == "The protagonist is talking"  # 'speech' in path
+    assert s["masked_pixel_values"].shape == (3, 9, 32, 32)
+    # first-frame-only inpaint: frame 0 kept, others zeroed
+    np.testing.assert_array_equal(
+        s["masked_pixel_values"][:, 0], s["pixel_values"][:, 0]
+    )
+    assert np.abs(s["masked_pixel_values"][:, 1:]).max() == 0.0
+
+    batch = next(ds.batches(1))
+    assert batch["pixel_values"].shape == (1, 3, 9, 32, 32)
+
+
+def test_yaml_config_loader(tmp_path):
+    from stableavatar_tpu.utils.yaml_config import load_config
+
+    yaml_text = """
+transformer_additional_kwargs:
+  transformer_subpath: ./
+  dict_mapping:
+    in_dim: in_channels
+vae_kwargs:
+  vae_subpath: Wan2.1_VAE.pth
+  temporal_compression_ratio: 4
+  spatial_compression_ratio: 8
+text_encoder_kwargs:
+  text_length: 512
+  vocab: 256384
+  dim: 4096
+  dim_ffn: 10240
+  num_heads: 64
+  num_layers: 24
+  num_buckets: 32
+  shared_pos: False
+scheduler_kwargs:
+  num_train_timesteps: 1000
+  shift: 5.0
+  use_dynamic_shifting: false
+"""
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml_text)
+    cfg = load_config(str(p))
+    assert cfg["vae"].temporal_compression_ratio == 4
+    assert cfg["vae"].spatial_compression_ratio == 8
+    assert cfg["t5"].text_len == 512
+    assert cfg["t5"].num_layers == 24
+    assert cfg["t5"].shared_pos is False
+    assert cfg["scheduler"].shift == 5.0
+
+
+def test_cli_flag_surface():
+    from stableavatar_tpu.cli.inference import build_parser
+
+    p = build_parser()
+    args = p.parse_args([
+        "--validation_reference_path", "x.png",
+        "--validation_driven_audio_path", "a.wav",
+        "--sample_steps", "50",
+        "--text_guide_scale", "3.0",
+        "--audio_guide_scale", "5.0",
+        "--overlap_window_length", "15",
+        "--ulysses_degree", "2",
+        "--ring_degree", "2",
+        "--fsdp_dit",
+        "--enable_teacache",
+        "--teacache_threshold", "0.1",
+        "--num_skip_start_steps", "5",
+        "--GPU_memory_mode", "model_full_load",
+        "--seed", "42",
+    ])
+    assert args.ulysses_degree * args.ring_degree == 4
+    assert args.fsdp_dit and args.enable_teacache
+
+
+def test_train_cli_flag_surface():
+    from stableavatar_tpu.cli.train import build_parser
+
+    p = build_parser()
+    args = p.parse_args([
+        "--train_data_meta", "index.txt",
+        "--learning_rate", "2e-5",
+        "--max_grad_norm", "0.05",
+        "--motion_sub_loss",
+        "--uniform_sampling",
+        "--lora", "--rank", "128", "--network_alpha", "64",
+        "--dp", "2", "--fsdp", "2", "--sp", "2",
+        "--use_8bit_adam",
+    ])
+    assert args.rank == 128 and args.dp == 2 and args.use_8bit_adam
