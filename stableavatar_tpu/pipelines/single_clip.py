@@ -59,6 +59,24 @@ def _clip_step(
     return new_lat.astype(jnp.bfloat16)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("dit_cfg", "clip_length", "text_scale", "audio_scale"),
+)
+def _clip_velocity(
+    params, latents, y, text_ctx, clip_ctx, vocal_emb, t, dit_cfg,
+    clip_length: int, text_scale: float, audio_scale: float,
+):
+    """CFG-combined velocity only (for the multistep solvers)."""
+    lat3 = jnp.concatenate([latents] * 3, axis=0).astype(jnp.bfloat16)
+    tb = jnp.full((3,), t, dtype=jnp.float32)
+    noise_pred = dit_forward(
+        params, dit_cfg, lat3, tb, text_ctx, clip_ctx, y, vocal_emb,
+        video_sample_n_frames=clip_length, vocal_cfg_tile=True,
+    )
+    return guidance_combine_single(noise_pred, text_scale, audio_scale)
+
+
 @dataclasses.dataclass
 class SingleClipOutput:
     videos: Optional[np.ndarray]
@@ -79,6 +97,7 @@ def generate_single_clip(
     clip_length: int = 81,
     seed: int = 42,
     shift: float = 5.0,
+    scheduler: str = "euler",  # "euler" | "dpm++" | "unipc"
     output_type: str = "numpy",
 ) -> SingleClipOutput:
     ref_image = jnp.asarray(ref_image, dtype=jnp.float32)
@@ -105,22 +124,42 @@ def generate_single_clip(
     clip_ctx, y = prepare_conditioning(models, ref_image, clip_length, cfg_batch=3)
     vocal_emb = extract_vocal_features(models, np.asarray(vocal_waveform, np.float32))
 
-    for i in range(sched.num_steps):
-        latents = _clip_step(
-            models.dit_params,
-            latents,
-            y,
-            text_ctx,
-            clip_ctx,
-            vocal_emb,
-            sched.timesteps[i],
-            sched.sigmas[i],
-            sched.sigmas[i + 1],
-            models.dit_cfg,
-            clip_length,
-            float(prompt_cfg_scale),
-            float(audio_cfg_scale),
+    if scheduler == "euler":
+        for i in range(sched.num_steps):
+            latents = _clip_step(
+                models.dit_params,
+                latents,
+                y,
+                text_ctx,
+                clip_ctx,
+                vocal_emb,
+                sched.timesteps[i],
+                sched.sigmas[i],
+                sched.sigmas[i + 1],
+                models.dit_cfg,
+                clip_length,
+                float(prompt_cfg_scale),
+                float(audio_cfg_scale),
+            )
+    else:
+        # multistep solvers (FlowDPM++ / FlowUniPC — reference fm_solvers)
+        from stableavatar_tpu.schedulers.fm_solvers import (
+            FlowDPMSolverMultistep,
+            FlowUniPCMultistep,
+            MultistepState,
         )
+
+        solver_cls = {"dpm++": FlowDPMSolverMultistep, "unipc": FlowUniPCMultistep}[scheduler]
+        solver = solver_cls(num_inference_steps, shift=shift)
+        state = MultistepState()
+        for i in range(solver.sched.num_steps):
+            v = _clip_velocity(
+                models.dit_params, latents, y, text_ctx, clip_ctx, vocal_emb,
+                solver.timesteps[i], models.dit_cfg, clip_length,
+                float(prompt_cfg_scale), float(audio_cfg_scale),
+            )
+            lat_f, state = solver.step(v, i, latents, state)
+            latents = lat_f.astype(jnp.bfloat16)
 
     lat_f32 = latents.astype(jnp.float32)
     if output_type == "latent":

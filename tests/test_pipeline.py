@@ -180,3 +180,58 @@ def test_generate_single_clip_end_to_end(tiny_models):
     )
     assert out.videos.shape == (1, 3, 9, 32, 32)
     assert np.isfinite(out.videos).all()
+
+
+def test_single_clip_multistep_solvers(tiny_models):
+    """DPM++/UniPC single-clip paths run and produce finite output."""
+    from stableavatar_tpu.pipelines.single_clip import generate_single_clip
+
+    rng = np.random.default_rng(2)
+    ref = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    wav = rng.standard_normal(9 * 640).astype(np.float32) * 0.1
+    ids = np.ones(16, np.int32)
+
+    for sched in ("dpm++", "unipc"):
+        out = generate_single_clip(
+            tiny_models,
+            ref_image=ref,
+            vocal_waveform=wav,
+            prompt_ids=(ids, ids),
+            negative_prompt_ids=(np.zeros(16, np.int32), ids),
+            num_inference_steps=3,
+            clip_length=9,
+            seed=0,
+            scheduler=sched,
+            output_type="latent",
+        )
+        assert np.isfinite(np.asarray(out.latents)).all(), sched
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_generate_long_sharded_matches_unsharded(tiny_models):
+    """Multi-chip SP+FSDP inference == single-device inference (the reference
+    multi-GPU path, ulysses x ring + FSDP, as one GSPMD mesh)."""
+    from stableavatar_tpu.parallel.mesh import make_mesh, mesh_context
+    from stableavatar_tpu.parallel.sharding import shard_params
+
+    rng = np.random.default_rng(3)
+    ref = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    wav = rng.standard_normal(18 * 640).astype(np.float32) * 0.1
+
+    kwargs = dict(
+        ref_image=ref, vocal_waveform=wav, prompt="a person talking",
+        num_inference_steps=1, clip_length=9, overlap_window_length=1,
+        seed=0, output_type="latent",
+    )
+    want = generate_long(tiny_models, **kwargs).latents
+
+    mesh = make_mesh(dp=1, fsdp=2, sp=4)
+    orig = tiny_models.dit_params
+    try:
+        with mesh_context(mesh):
+            tiny_models.dit_params = shard_params(orig, mesh)
+            got = generate_long(tiny_models, **kwargs).latents
+    finally:
+        tiny_models.dit_params = orig
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-2, atol=3e-2)
