@@ -399,12 +399,16 @@ def _init_caches(p, x, cfg, apply_fn, first_chunk):
     return [jnp.zeros(s.shape, s.dtype) for s in shapes]
 
 
-def encode_chunks(params, video, cfg: VAEConfig = VAEConfig()):
+def encode_chunks(params, video, cfg: VAEConfig = VAEConfig(), chunks_per_step: int = 1):
     """video [B, T, H, W, 3] (T = 1+4n) -> (mu [B, 1+n, H/8, W/8, z], logvar).
 
     mu is normalized by the per-channel latent mean/std (`wan_vae.py:539-544`).
     Streaming layout mirrors the reference encode loop (`wan_vae.py:519-547`):
     chunk 0 is the first frame alone, then `lax.scan` over 4-frame chunks.
+
+    `chunks_per_step` groups 4-frame chunks per scan step — identical results
+    (the causal caches make chunk boundaries invisible; stride-2 temporal
+    convs stay aligned on 4-frame multiples) with bigger dispatches.
     """
     b, t, h, w, _ = video.shape
     assert (t - 1) % 4 == 0, f"T must be 1+4n, got {t}"
@@ -414,24 +418,29 @@ def encode_chunks(params, video, cfg: VAEConfig = VAEConfig()):
     ctx0 = _Cache(_init_caches(enc, video[:, :1], cfg, encoder_apply, True))
     z0 = encoder_apply(enc, video[:, :1], ctx0, cfg, first_chunk=True)
     caches = ctx0.caches_out
+    parts = [z0]
 
-    if n > 0:
-        chunks = video[:, 1:].reshape(b, n, 4, h, w, video.shape[-1])
-        chunks = jnp.moveaxis(chunks, 1, 0)  # [n, B, 4, H, W, C]
+    g = max(1, chunks_per_step)
+    n_groups, rem = divmod(n, g)
 
-        def step(caches, xc):
-            ctx = _Cache(caches)
-            z = encoder_apply(enc, xc, ctx, cfg, first_chunk=False)
-            return ctx.caches_out, z
+    def step(caches, xc):
+        ctx = _Cache(caches)
+        z = encoder_apply(enc, xc, ctx, cfg, first_chunk=False)
+        return ctx.caches_out, z
 
-        # first-chunk caches for downsample3d have 1 frame; subsequent chunks
-        # keep the same cache sizes, so the carry is shape-stable.
-        caches, zs = jax.lax.scan(step, caches, chunks)
-        zs = jnp.moveaxis(zs, 0, 1)  # [B, n, fpc, h, w, 2z]
+    if n_groups > 0:
+        body = video[:, 1 : 1 + n_groups * g * 4]
+        body = body.reshape(b, n_groups, g * 4, h, w, video.shape[-1])
+        body = jnp.moveaxis(body, 1, 0)  # [n_groups, B, g*4, H, W, C]
+        caches, zs = jax.lax.scan(step, caches, body)
+        zs = jnp.moveaxis(zs, 0, 1)  # [B, n_groups, fpc, h, w, 2z]
         zs = zs.reshape(b, -1, *zs.shape[3:])
-        z = jnp.concatenate([z0, zs], axis=1)
-    else:
-        z = z0
+        parts.append(zs)
+    if rem > 0:
+        caches, z_rem = step(caches, video[:, 1 + n_groups * g * 4 :])
+        parts.append(z_rem)
+
+    z = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
     z = conv3d(z, params["conv1"]["w"], params["conv1"]["b"], padding="VALID")
     mu, logvar = jnp.split(z, 2, axis=-1)
@@ -496,10 +505,13 @@ def sample_posterior(mu, logvar, key):
 # NCHW-style helpers for pipeline compatibility ------------------------------
 
 
-def encode_video(params, video_ncthw, cfg: VAEConfig = VAEConfig()):
+def encode_video(params, video_ncthw, cfg: VAEConfig = VAEConfig(), chunks_per_step=None):
     """video [B, 3, T, H, W] (reference layout) -> mu [B, z, Tl, h, w]."""
     v = jnp.transpose(video_ncthw, (0, 2, 3, 4, 1))
-    mu, _ = encode_chunks(params, v, cfg)
+    if chunks_per_step is None:
+        hw = v.shape[2] * v.shape[3]
+        chunks_per_step = max(1, min(4, (4 * 384 * 384) // max(hw, 1)))
+    mu, _ = encode_chunks(params, v, cfg, chunks_per_step=chunks_per_step)
     return jnp.transpose(mu, (0, 4, 1, 2, 3))
 
 

@@ -182,8 +182,12 @@ def generate_long(
     seed: int = 42,
     shift: float = 5.0,
     output_type: str = "numpy",
+    timer=None,  # optional utils.profiling.StepTimer for per-phase tracing
 ) -> LongPipelineOutput:
     """Audio-driven unbounded-length generation (reference §3.2 call stack)."""
+    import contextlib
+
+    phase = timer.phase if timer is not None else (lambda name: contextlib.nullcontext())
     ref_image = jnp.asarray(ref_image, dtype=jnp.float32)
     h_img, w_img = ref_image.shape[-2:]
 
@@ -202,16 +206,19 @@ def generate_long(
         key, (1, models.vae_cfg.z_dim, infer_length, lh, lw), dtype=jnp.float32
     ).astype(jnp.bfloat16)
 
-    if text_ctx is None:
-        text_ctx = encode_prompts(models, prompt, negative_prompt)
-    clip_ctx, y_full = prepare_conditioning(models, ref_image, clip_length, cfg_batch=3)
+    with phase("text_encode"):
+        if text_ctx is None:
+            text_ctx = encode_prompts(models, prompt, negative_prompt)
+    with phase("conditioning"):
+        clip_ctx, y_full = prepare_conditioning(models, ref_image, clip_length, cfg_batch=3)
 
     windows = plan_windows(infer_length, frames_per_batch, overlap_window_length)
     audio_slices = plan_audio_slices(windows, infer_length, samples_per_frame, total_samples)
 
     # hoisted: one wav2vec evaluation per window, reused across all steps
-    wav = np.asarray(vocal_waveform, dtype=np.float32)
-    vocal_embs = [extract_vocal_features(models, wav[idx]) for idx in audio_slices]
+    with phase("wav2vec"):
+        wav = np.asarray(vocal_waveform, dtype=np.float32)
+        vocal_embs = [extract_vocal_features(models, wav[idx]) for idx in audio_slices]
 
     ramp = None
     if overlap_window_length > 0:
@@ -223,6 +230,7 @@ def generate_long(
         teacache.reset()
 
     for i in range(sched.num_steps):
+      with phase("denoise_step"):
         t = sched.timesteps[i]
         sigma, sigma_next = sched.sigmas[i], sched.sigmas[i + 1]
         pred_latents = jnp.zeros_like(latents_all)
@@ -285,7 +293,8 @@ def generate_long(
 
     # decode in the VAE dtype like the reference (`decode_latents` casts to
     # vae.dtype, wan_inference_long_pipeline.py:425) — halves decode HBM
-    frames = decode_video(models.vae_params, latents_all.astype(jnp.bfloat16), models.vae_cfg)
+    with phase("vae_decode"):
+        frames = decode_video(models.vae_params, latents_all.astype(jnp.bfloat16), models.vae_cfg)
     video = np.asarray(frames, dtype=np.float32) / 2.0 + 0.5
     video = np.clip(video, 0.0, 1.0)
     return LongPipelineOutput(videos=video, latents=latents)

@@ -99,3 +99,17 @@ def test_decode_grouping_invariance(setup):
     for g in (2, 3, 4):
         got = decode_chunks(params, z, TINY, frames_per_step=g)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_encode_grouping_invariance(setup):
+    """Grouped encode chunks must equal chunk-by-chunk encode."""
+    from stableavatar_tpu.models.vae import encode_chunks
+
+    params, _ = setup
+    rng = np.random.default_rng(4)
+    video = jnp.asarray(rng.standard_normal((1, 17, 16, 16, 3)).astype(np.float32))
+
+    mu_ref, lv_ref = encode_chunks(params, video, TINY, chunks_per_step=1)
+    for g in (2, 3, 4):
+        mu, lv = encode_chunks(params, video, TINY, chunks_per_step=g)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref), rtol=1e-4, atol=1e-5)
