@@ -237,6 +237,10 @@ def generate_long(
         prev_end = None
         for wi, (s, e) in enumerate(windows):
             f = e - s
+            # per-window frame count keeps the vocal projector's window count
+            # equal to the latent frame count (matters for audio shorter than
+            # one full window, where the reference would crash)
+            clip_len_w = (f - 1) * models.vae_cfg.temporal_compression_ratio + 1
             lat_win = jax.lax.dynamic_slice_in_dim(latents_all, s, f, axis=2)
             y_win = y_full[:, :, :f]
             compute = True
@@ -256,7 +260,7 @@ def generate_long(
                     sigma,
                     sigma_next,
                     models.dit_cfg,
-                    clip_length,
+                    clip_len_w,
                     float(text_guide_scale),
                     float(audio_guide_scale),
                 )

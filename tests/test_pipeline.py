@@ -235,3 +235,26 @@ def test_generate_long_sharded_matches_unsharded(tiny_models):
         tiny_models.dit_params = orig
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-2, atol=3e-2)
+
+
+def test_generate_long_short_audio(tiny_models):
+    """Audio shorter than one window (infer_length < frames_per_batch): the
+    reference crashes on the vocal per-frame reshape; we adjust the
+    per-window frame count."""
+    rng = np.random.default_rng(4)
+    ref = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    wav = rng.standard_normal(8 * 640).astype(np.float32) * 0.1  # 8 frames -> 2 latents < 3
+
+    out = generate_long(
+        tiny_models,
+        ref_image=ref,
+        vocal_waveform=wav,
+        prompt="talking",
+        num_inference_steps=1,
+        clip_length=9,
+        overlap_window_length=1,
+        seed=0,
+        output_type="latent",
+    )
+    assert out.latents.shape[2] == 2
+    assert np.isfinite(np.asarray(out.latents)).all()
