@@ -154,6 +154,9 @@ def _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k, with_lse=True):
             ],
         ),
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n * lqp * lkp * d,
             bytes_accessed=2 * b * n * (lqp + 2 * lkp) * d,
@@ -339,6 +342,9 @@ def _flash_bwd_impl(q, k, v, k_lens, out, lse, g, scale, block_q, block_k):
             jax.ShapeDtypeStruct((b * n, lkp, d), k.dtype),
             jax.ShapeDtypeStruct((b * n, lkp, d), v.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
     )(klens32, qp, kp, vp, dop, lse, delta)
 
     dq = pl.pallas_call(
@@ -358,6 +364,9 @@ def _flash_bwd_impl(q, k, v, k_lens, out, lse, g, scale, block_q, block_k):
             scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((b * n, lqp, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
     )(klens32, qp, kp, vp, dop, lse, delta)
 
     def from_bh(x, l, orig_l):
