@@ -241,6 +241,17 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     out_path = os.path.join(args.output_dir, f"video_seed{args.seed}.mp4")
     save_videos_grid(out.videos, out_path, fps=args.fps)
+    # mux the driving audio when ffmpeg is available (reference
+    # save_video_ffmpeg crops + muxes, inference.py:53-89)
+    from stableavatar_tpu.utils.media import ffmpeg_available, mux_audio
+
+    if ffmpeg_available():
+        try:
+            muxed = out_path.replace(".mp4", "_audio.mp4")
+            mux_audio(out_path, args.validation_driven_audio_path, muxed)
+            out_path = muxed
+        except Exception as e:
+            print(f"audio mux skipped: {e}")
     print(f"saved {out_path}")
     return 0
 
