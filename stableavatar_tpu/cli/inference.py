@@ -98,8 +98,10 @@ def load_models(args):
     else:
         dit_params = init_dit(ks[0], cfg)
     if args.transformer_path and os.path.exists(args.transformer_path):
+        # fine-tuned .pt override: non-strict, size-filtered merge
+        # (reference inference.py:485-490)
         sd = ckpt.load_torch_state_dict(args.transformer_path)
-        dit_params = ckpt.convert_dit(sd, cfg)
+        dit_params = ckpt.merge_pt_override(dit_params, sd, cfg)
     dit_params = cast_params(dit_params, jnp.bfloat16)
 
     vae_cfg = VAEConfig()

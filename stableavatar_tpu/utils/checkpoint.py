@@ -458,3 +458,34 @@ def restore_checkpoint(path: str, template=None):
     if template is not None:
         return ckpt.restore(path, template)
     return ckpt.restore(path)
+
+
+def merge_pt_override(params, sd: StateDict, cfg) -> dict:
+    """Overlay a fine-tuned `.pt` state dict onto converted params, skipping
+    size-mismatched tensors (reference non-strict merge,
+    `inference.py:485-490` + `wan_fantasy_transformer3d_1B.py:1322-1331`).
+
+    Returns the merged pytree; logs skipped keys.
+    """
+    override = convert_dit(sd, cfg)
+
+    skipped = []
+
+    def merge(path, base, new):
+        if new is None:
+            return base
+        if hasattr(base, "shape") and hasattr(new, "shape"):
+            if base.shape != new.shape:
+                skipped.append("/".join(str(getattr(k, "key", k)) for k in path))
+                return base
+            return new
+        return new
+
+    import jax
+
+    merged = jax.tree_util.tree_map_with_path(
+        lambda p, b, n: merge(p, b, n), params, override
+    )
+    if skipped:
+        print(f"merge_pt_override: skipped {len(skipped)} size-mismatched tensors")
+    return merged
