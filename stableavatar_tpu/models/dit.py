@@ -35,7 +35,7 @@ from stableavatar_tpu.config import DiTConfig
 from stableavatar_tpu.ops.attention import attention
 from stableavatar_tpu.ops.embeddings import sinusoidal_embedding_1d
 from stableavatar_tpu.ops.norms import layer_norm, rms_norm
-from stableavatar_tpu.ops.rope import RopeFreqs, rope_apply, rope_freqs_3d
+from stableavatar_tpu.ops.rope import RopeFreqs, pack_split, rope_apply, rope_freqs_3d
 from stableavatar_tpu.models.vocal_projector import (
     apply_linear,
     apply_vocal_projector,
@@ -148,23 +148,33 @@ def cast_params(params, dtype=jnp.bfloat16):
 # ---------------------------------------------------------------------------
 
 
-def _self_attention(p, x, freqs: RopeFreqs, num_heads, eps):
-    """WanSelfAttention (`wan_fantasy_transformer3d_1B.py:358-413`)."""
+def _self_attention(p, x, freqs: RopeFreqs, num_heads, eps, rope_packed=None,
+                    quant="none"):
+    """WanSelfAttention (`wan_fantasy_transformer3d_1B.py:358-413`).
+
+    With `rope_packed` (fast path, `utils/fastpath.py`), q/k weights are in
+    split-pair layout and the rotation is fused into the flash kernel;
+    otherwise rope is applied out-of-kernel from the interleaved tables.
+    """
     b, l, dim = x.shape
     d = dim // num_heads
     q = rms_norm(apply_linear(p["q"], x), p["norm_q"]["w"], eps).reshape(b, l, num_heads, d)
     k = rms_norm(apply_linear(p["k"], x), p["norm_k"]["w"], eps).reshape(b, l, num_heads, d)
     v = apply_linear(p["v"], x).reshape(b, l, num_heads, d)
-    # rope_apply returns fp32; cast back below keeps the MXU in bf16
-    q = rope_apply(q, freqs).astype(x.dtype)
-    k = rope_apply(k, freqs).astype(x.dtype)
+    if rope_packed is None:
+        # rope_apply returns fp32; cast back below keeps the MXU in bf16
+        q = rope_apply(q, freqs).astype(x.dtype)
+        k = rope_apply(k, freqs).astype(x.dtype)
+    else:
+        q = q.astype(x.dtype)
+        k = k.astype(x.dtype)
     # Ulysses-style SP: reshard tokens->heads for full-sequence attention;
     # GSPMD compiles the reshard into an ICI all-to-all (replaces
     # xFuserLongContextAttention, wan/dist/wan_xfuser.py:72-115).
     q = maybe_constrain(q, "dp", None, "sp", None)
     k = maybe_constrain(k, "dp", None, "sp", None)
     v = maybe_constrain(v, "dp", None, "sp", None)
-    out = attention(q, k, v)
+    out = attention(q, k, v, rope=rope_packed, quant=quant)
     out = maybe_constrain(out, "dp", "sp", None, None)
     return apply_linear(p["o"], out.reshape(b, l, dim))
 
@@ -179,6 +189,7 @@ def _cross_attention(
     num_heads,
     latents_num_frames,
     eps,
+    quant="none",
 ):
     """WanI2VTalkingCrossAttention (`wan_fantasy_transformer3d_1B.py:504-605`):
     text + image + per-frame vocal branches, summed."""
@@ -194,13 +205,13 @@ def _cross_attention(
     v = apply_linear(p["v"], context_text)
     k = k.reshape(b, -1, num_heads, d)
     v = v.reshape(b, -1, num_heads, d)
-    txt = attention(q, k, v)
+    txt = attention(q, k, v, quant=quant)
 
     k_img = rms_norm(apply_linear(p["k_img"], context_img), p["norm_k_img"]["w"], eps).astype(dt)
     v_img = apply_linear(p["v_img"], context_img)
     k_img = k_img.reshape(b, -1, num_heads, d)
     v_img = v_img.reshape(b, -1, num_heads, d)
-    img = attention(q, k_img, v_img)
+    img = attention(q, k_img, v_img, quant=quant)
 
     # vocal branch: per-latent-frame attention (q regrouped to [b*f, l/f, ...]);
     # clip-level mode (vocal frame dim == 1) is one global pass instead
@@ -233,13 +244,18 @@ def apply_block(
     freqs: RopeFreqs,
     cfg: DiTConfig,
     latents_num_frames: int,
+    rope_packed=None,
+    attn_quant="none",
 ):
     """WanAttentionBlock (`wan_fantasy_transformer3d_1B.py:650-695`)."""
     e = p["modulation"].astype(e0.dtype) + e0  # [B, 6, dim]
     e = [e[:, i : i + 1] for i in range(6)]
 
     temp = (layer_norm(x, eps=cfg.eps) * (1 + e[1]) + e[0]).astype(x.dtype)
-    y = _self_attention(p["self_attn"], temp, freqs, cfg.num_heads, cfg.eps)
+    y = _self_attention(
+        p["self_attn"], temp, freqs, cfg.num_heads, cfg.eps,
+        rope_packed=rope_packed, quant=attn_quant,
+    )
     x = x + y * e[2]
 
     normed = layer_norm(x, p["norm3"]["w"], p["norm3"]["b"], eps=cfg.eps)
@@ -253,6 +269,7 @@ def apply_block(
         cfg.num_heads,
         latents_num_frames,
         cfg.eps,
+        quant=attn_quant,
     )
 
     temp = (layer_norm(x, eps=cfg.eps) * (1 + e[4]) + e[3]).astype(x.dtype)
@@ -331,6 +348,8 @@ def dit_forward(
     freqs: Optional[RopeFreqs] = None,
     remat: bool = False,
     return_residual: bool = False,
+    rope_split: bool = False,
+    attn_quant: str = "none",
 ) -> jnp.ndarray:
     """One denoise evaluation.  Returns velocity prediction [B, 16, F, H, W].
 
@@ -338,6 +357,11 @@ def dit_forward(
     `vocal_cfg_tile=True` reproduces the CFG triple path (`:1004-1007`): the
     projector runs on the last batch row only and the result is tiled as
     [zeros, v, v].
+
+    `rope_split=True` requires params prepared by
+    `utils/fastpath.py:prepare_fast_params` (split-pair q/k layout); rope is
+    then fused into the flash kernel.  `attn_quant` in {"none","qk","qkpv"}
+    selects the int8 MXU attention fast path (inference only).
     """
     b, _, f, h, w = x.shape
     pt, ph, pw = cfg.patch_size
@@ -353,6 +377,7 @@ def dit_forward(
 
     if freqs is None:
         freqs = rope_freqs_3d(grid, cfg.head_dim)
+    rope_packed = pack_split(freqs) if rope_split else None
 
     e, e0 = time_embeddings(params, cfg, t, dtype)
     context_text, context_img = encode_context(params, cfg, text_embeds, clip_fea, dtype)
@@ -398,6 +423,8 @@ def dit_forward(
             freqs,
             cfg,
             latents_num_frames,
+            rope_packed=rope_packed,
+            attn_quant=attn_quant,
         )
         return out, None
 

@@ -126,6 +126,10 @@ def _linear(key, d_in, d_out, bias=True, init="xavier", zero=False):
 
 
 def apply_linear(p, x):
+    if "w8" in p:  # int8 COMPUTE quant (W8A8 MXU path, utils/quantization.py)
+        from stableavatar_tpu.utils.quantization import int8_linear
+
+        return int8_linear(x, p["w8"], p.get("b"))
     w = p["w"]
     if isinstance(w, dict):  # int8-quantized storage (utils/quantization.py)
         w = w["q"].astype(x.dtype) * w["s"].astype(x.dtype)

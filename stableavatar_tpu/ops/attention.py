@@ -33,6 +33,8 @@ def attention(
     scale: Optional[float] = None,
     causal: bool = False,
     backend: str = "auto",
+    rope: Optional[jnp.ndarray] = None,
+    quant: str = "none",
 ) -> jnp.ndarray:
     """Fused scaled dot-product attention.
 
@@ -45,17 +47,28 @@ def attention(
       scale: softmax scale; defaults to D**-0.5.
       causal: causal masking (unused by the Wan models; kept for API parity).
       backend: "auto" | "xla" | "pallas".
+      rope: optional packed [L, D] cos||sin table (`ops/rope.py:pack_split`);
+        q/k must be in split-pair channel layout.  The Pallas path fuses the
+        rotation into the kernel; the XLA path applies it out-of-kernel.
+      quant: "none" | "qk" | "qkpv" — int8 MXU fast path (Pallas only;
+        inference only).  The XLA path ignores it (full precision).
 
     Returns: [B, Lq, N, D] in q.dtype.
     """
-    if backend == "pallas":
+    use_pallas = backend == "pallas" or (backend == "auto" and _use_pallas(q, k))
+    if use_pallas:
         from stableavatar_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, k_lens=k_lens, scale=scale, causal=causal)
-    if backend == "auto" and _use_pallas(q, k):
-        from stableavatar_tpu.ops.flash_attention import flash_attention
+        return flash_attention(
+            q, k, v, k_lens=k_lens, scale=scale, causal=causal, rope=rope,
+            quant=quant,
+        )
+    if rope is not None:
+        from stableavatar_tpu.ops.rope import rope_apply_split
 
-        return flash_attention(q, k, v, k_lens=k_lens, scale=scale, causal=causal)
+        dt = q.dtype
+        q = rope_apply_split(q, rope).astype(dt)
+        k = rope_apply_split(k, rope).astype(dt)
     return _xla_attention(q, k, v, k_lens=k_lens, scale=scale, causal=causal)
 
 

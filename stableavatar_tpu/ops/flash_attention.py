@@ -6,18 +6,32 @@ kernels (`wan/models/wan_fantasy_transformer3d_1B.py:49-207`).  The ragged
 iota length mask instead of cu_seqlens packing, keeping every shape static.
 
 Design (see pallas_guide.md):
+
 - forward grid = (batch*heads, q_blocks, k_blocks); the k-block axis is
   innermost so the VMEM scratch accumulators (acc, running max m, running sum
-  l) persist across k blocks of one q block; also emits LSE = m + log(l) for
-  the backward;
+  l) persist across k blocks of one q block; optionally emits LSE =
+  m + log(l) for the backward / ring-attention partial combining;
+- **fused RoPE**: 3D rotary embedding is applied to q/k inside the kernel
+  (split-pair channel layout, see `ops/rope.py:split_pair_permutation`) —
+  this deletes two fp32 [B, L, N, D] HBM round-trips per DiT block that the
+  unfused form pays (`rope_apply` + cast);
+- **int8 MXU path** (`quant="qk"` / `"qkpv"`): v5e int8 matmul throughput is
+  2x bf16 (394 vs 197 TOPS — measured at peak via scripts/microbench_*).
+  q/k are quantized per-token (per-row dynamic absmax scales, fp32 softmax
+  logits reconstructed exactly as (q8·k8) * sq * sk * scale), in the spirit
+  of SageAttention (arXiv:2410.02367), which shows per-block int8 QK^T is
+  visually lossless for video diffusion DiTs.  `"qkpv"` additionally runs
+  P·V on the int8 MXU: P is rescaled per-row to its running block max
+  (error scales with each block's true softmax mass, the same trick that
+  makes Sage's per-block P quant safe), V per-channel per-block;
 - backward is the standard two-kernel flash formulation: one pass over
   (k-block, q-blocks) accumulating dK/dV, one pass over (q-block, k-blocks)
   accumulating dQ, with p recomputed from LSE (delta = rowsum(dO*O) is a
-  cheap fused jnp op);
-- online softmax in fp32 on the VPU, all contractions on the MXU with
-  `preferred_element_type=float32`;
-- block 1024x1024 measured 151 TF/s on v5e at the 21.5k-token DiT
-  self-attention shape (95% of the 159 TF/s matmul ceiling).
+  cheap fused jnp op); rope is recomputed in-kernel and inverted on the
+  dq/dk accumulators at finalize (the rotation is orthogonal).  The backward
+  always runs bf16 — int8 is an inference fast path;
+- online softmax in fp32 on the VPU, all contractions on the MXU with an
+  explicit `preferred_element_type`.
 
 The XLA alternative is not viable at these shapes: it materializes the full
 [B, N, Lq, Lk] fp32 logits (66 GB at 21.5k tokens — measured OOM).
@@ -26,7 +40,7 @@ The XLA alternative is not viable at these shapes: it materializes the full
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,15 +51,49 @@ NEG_INF = -1e30
 
 
 # ---------------------------------------------------------------------------
+# in-kernel helpers
+# ---------------------------------------------------------------------------
+
+
+def _rot(x, t):
+    """Rotate [R, D] fp32 rows by packed cos||sin table t [R, D] (split-pair
+    layout: pair j lives at channels (j, j + D/2))."""
+    half = x.shape[-1] // 2
+    c, s = t[:, :half], t[:, half:]
+    x0, x1 = x[:, :half], x[:, half:]
+    return jnp.concatenate([x0 * c - x1 * s, x0 * s + x1 * c], axis=-1)
+
+
+def _rot_inv(g, t):
+    """Inverse (transpose) rotation — the VJP of `_rot` w.r.t. x."""
+    half = g.shape[-1] // 2
+    c, s = t[:, :half], t[:, half:]
+    g0, g1 = g[:, :half], g[:, half:]
+    return jnp.concatenate([g0 * c + g1 * s, -g0 * s + g1 * c], axis=-1)
+
+
+def _quant_rows(x):
+    """Per-row symmetric int8 quantization of [R, D] fp32.
+
+    Returns (int8 values, fp32 scales [R, 1]) with x ~= values * scales."""
+    s = jnp.max(jnp.abs(x), axis=1, keepdims=True) * (1.0 / 127.0)
+    s = jnp.maximum(s, 1e-10)
+    q = jnp.clip(jnp.round(x / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+# ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(
-    klens_ref,  # scalar prefetch: [B] int32
+def _fwd_body(
+    klens_ref,
     q_ref,  # [1, BQ, D]
     k_ref,  # [1, BK, D]
     v_ref,  # [1, BK, D]
+    ropeq_ref,  # [BQ, D] f32 packed cos||sin, or None
+    ropek_ref,  # [BK, D] f32, or None
     o_ref,  # [1, BQ, D]
     lse_ref,  # [1, BQ, 128] or None (value broadcast over lanes; lane 0 read)
     acc_ref,  # [BQ, D] f32
@@ -55,6 +103,8 @@ def _fwd_kernel(
     scale: float,
     block_k: int,
     num_heads: int,
+    quant_qk: bool,
+    quant_pv: bool,
 ):
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -68,11 +118,27 @@ def _fwd_kernel(
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
+    dt = q.dtype
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * scale
+    if ropeq_ref is not None:
+        qr = _rot(q.astype(jnp.float32), ropeq_ref[...])
+        kr = _rot(k.astype(jnp.float32), ropek_ref[...])
+    else:
+        qr, kr = q, k
+
+    if quant_qk:
+        q8, sq = _quant_rows(qr.astype(jnp.float32))
+        k8, sk = _quant_rows(kr.astype(jnp.float32))
+        s = jax.lax.dot_general(
+            q8, k8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        s = s * (sq * scale) * sk.reshape(1, -1)
+    else:
+        s = jax.lax.dot_general(
+            qr.astype(dt), kr.astype(dt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale
 
     b = pl.program_id(0) // num_heads
     klen = klens_ref[b]
@@ -83,13 +149,31 @@ def _fwd_kernel(
     l_prev = l_ref[:, :1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
     correction = jnp.exp(m_prev - m_new)
-    l_new = correction * l_prev + jnp.sum(p, axis=1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+
+    if quant_pv:
+        # P rescaled to its per-row block max (so quantization error tracks
+        # each block's true softmax mass); V per-channel per-block
+        p_rel = jnp.exp(s - m_cur)  # rowmax exactly 1
+        p8 = jnp.clip(jnp.round(p_rel * 127.0), 0.0, 127.0).astype(jnp.int8)
+        vf = v.astype(jnp.float32)
+        sv = jnp.maximum(jnp.max(jnp.abs(vf), axis=0, keepdims=True), 1e-10) * (
+            1.0 / 127.0
+        )
+        v8 = jnp.clip(jnp.round(vf / sv), -127.0, 127.0).astype(jnp.int8)
+        pv = jax.lax.dot_general(
+            p8, v8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        factor = jnp.exp(m_cur - m_new)  # [BQ, 1]
+        acc_ref[:] = acc_ref[:] * correction + pv * (factor * (1.0 / 127.0)) * sv
+        l_new = correction * l_prev + jnp.sum(p_rel, axis=1, keepdims=True) * factor
+    else:
+        p = jnp.exp(s - m_new)
+        l_new = correction * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     m_ref[:, :1] = m_new
     l_ref[:, :1] = l_new
 
@@ -102,9 +186,44 @@ def _fwd_kernel(
             lse_ref[0] = jnp.broadcast_to(m_ref[:, :1] + jnp.log(l), lse_ref.shape[1:])
 
 
-def _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k, with_lse=True):
+def _make_fwd_kernel(apply_rope, with_lse, **kw):
+    def kernel(*refs):
+        i = 1  # refs[0] is the klens scalar-prefetch
+        q_ref, k_ref, v_ref = refs[i : i + 3]
+        i += 3
+        ropeq_ref = ropek_ref = None
+        if apply_rope:
+            ropeq_ref, ropek_ref = refs[i : i + 2]
+            i += 2
+        o_ref = refs[i]
+        i += 1
+        lse_ref = None
+        if with_lse:
+            lse_ref = refs[i]
+            i += 1
+        acc_ref, m_ref, l_ref = refs[i : i + 3]
+        _fwd_body(
+            refs[0], q_ref, k_ref, v_ref, ropeq_ref, ropek_ref, o_ref, lse_ref,
+            acc_ref, m_ref, l_ref, **kw,
+        )
+
+    return kernel
+
+
+def _pad_rope(rope, l_padded):
+    pad = l_padded - rope.shape[0]
+    if pad:
+        rope = jnp.pad(rope, ((0, pad), (0, 0)))
+    return rope.astype(jnp.float32)
+
+
+def _flash_fwd_impl(
+    q, k, v, k_lens, rope, scale, block_q, block_k, with_lse=True, quant="none"
+):
     b, lq, n, d = q.shape
     lk = k.shape[1]
+    quant_qk = quant in ("qk", "qkpv")
+    quant_pv = quant == "qkpv"
 
     pad_q = (-lq) % block_q
     pad_k = (-lk) % block_k
@@ -119,7 +238,28 @@ def _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k, with_lse=True):
     qp, kp, vp = to_bh(qp, lqp), to_bh(kp, lkp), to_bh(vp, lkp)
 
     grid = (b * n, lqp // block_q, lkp // block_k)
-    kernel = functools.partial(_fwd_kernel, scale=scale, block_k=block_k, num_heads=n)
+    kernel = _make_fwd_kernel(
+        apply_rope=rope is not None,
+        with_lse=with_lse,
+        scale=scale,
+        block_k=block_k,
+        num_heads=n,
+        quant_qk=quant_qk,
+        quant_pv=quant_pv,
+    )
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0)),
+    ]
+    inputs = [k_lens.astype(jnp.int32), qp, kp, vp]
+    if rope is not None:
+        ropeq = _pad_rope(rope, lqp)
+        ropek = _pad_rope(rope, lkp) if lkp != lqp else ropeq
+        in_specs.append(pl.BlockSpec((block_q, d), lambda bh, iq, ik, *_: (iq, 0)))
+        in_specs.append(pl.BlockSpec((block_k, d), lambda bh, iq, ik, *_: (ik, 0)))
+        inputs.extend([ropeq, ropek])
 
     out_specs = [pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0))]
     out_shape = [jax.ShapeDtypeStruct((b * n, lqp, d), q.dtype)]
@@ -128,24 +268,15 @@ def _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k, with_lse=True):
             pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik, *_: (bh, iq, 0))
         )
         out_shape.append(jax.ShapeDtypeStruct((b * n, lqp, 128), jnp.float32))
-    else:
-        # primal-only path: skip the LSE write (saves an [BH, Lq, 128] f32
-        # store per call — ~400 MB at the DiT self-attention shape)
-        inner = kernel
-
-        def kernel(klens, qr, kr, vr, orf, acc, m, l):  # noqa: F811
-            return inner(klens, qr, kr, vr, orf, None, acc, m, l)
+    # else: primal-only path skips the LSE write (saves an [BH, Lq, 128] f32
+    # store per call — ~400 MB at the DiT self-attention shape)
 
     results = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0)),
-                pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0)),
-                pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((block_q, d), jnp.float32),
@@ -158,11 +289,11 @@ def _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k, with_lse=True):
             dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * n * lqp * lkp * d,
+            flops=4 * b * n * lqp * lkp * d // (2 if quant_qk and quant_pv else 1),
             bytes_accessed=2 * b * n * (lqp + 2 * lkp) * d,
             transcendentals=b * n * lqp * lkp,
         ),
-    )(k_lens.astype(jnp.int32), qp, kp, vp)
+    )(*inputs)
 
     out = results[0]  # out_shape is a list, so results is always a sequence
     lse = results[1] if with_lse else None
@@ -175,7 +306,7 @@ def _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k, with_lse=True):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dkdv_kernel(
+def _bwd_dkdv_body(
     klens_ref,
     q_ref,  # [1, BQ, D]
     k_ref,  # [1, BK, D]
@@ -183,6 +314,8 @@ def _bwd_dkdv_kernel(
     do_ref,  # [1, BQ, D]
     lse_ref,  # [1, BQ, 128]
     delta_ref,  # [1, BQ, 128]
+    ropeq_ref,  # [BQ, D] or None
+    ropek_ref,  # [BK, D] or None
     dk_ref,  # [1, BK, D] out
     dv_ref,  # [1, BK, D] out
     dk_acc,  # [BK, D] f32 scratch
@@ -203,6 +336,10 @@ def _bwd_dkdv_kernel(
 
     q = q_ref[0]
     k = k_ref[0]
+    dt = q.dtype
+    if ropeq_ref is not None:
+        q = _rot(q.astype(jnp.float32), ropeq_ref[...]).astype(dt)
+        k = _rot(k.astype(jnp.float32), ropek_ref[...]).astype(dt)
     v = v_ref[0]
     do = do_ref[0]
     lse = lse_ref[0][:, :1]  # [BQ, 1]
@@ -233,11 +370,15 @@ def _bwd_dkdv_kernel(
 
     @pl.when(iq == nq - 1)
     def _finalize():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dk = dk_acc[:]
+        if ropek_ref is not None:
+            # grads flow back through the (orthogonal) rotation
+            dk = _rot_inv(dk, ropek_ref[...])
+        dk_ref[0] = dk.astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(
+def _bwd_dq_body(
     klens_ref,
     q_ref,  # [1, BQ, D]
     k_ref,  # [1, BK, D]
@@ -245,6 +386,8 @@ def _bwd_dq_kernel(
     do_ref,  # [1, BQ, D]
     lse_ref,  # [1, BQ, 128]
     delta_ref,  # [1, BQ, 128]
+    ropeq_ref,  # [BQ, D] or None
+    ropek_ref,  # [BK, D] or None
     dq_ref,  # [1, BQ, D] out
     dq_acc,  # [BQ, D] f32 scratch
     *,
@@ -261,6 +404,10 @@ def _bwd_dq_kernel(
 
     q = q_ref[0]
     k = k_ref[0]
+    dt = q.dtype
+    if ropeq_ref is not None:
+        q = _rot(q.astype(jnp.float32), ropeq_ref[...]).astype(dt)
+        k = _rot(k.astype(jnp.float32), ropek_ref[...]).astype(dt)
     v = v_ref[0]
     do = do_ref[0]
     lse = lse_ref[0][:, :1]  # [BQ, 1]
@@ -287,10 +434,31 @@ def _bwd_dq_kernel(
 
     @pl.when(ik == nk - 1)
     def _finalize():
-        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+        dq = dq_acc[:]
+        if ropeq_ref is not None:
+            dq = _rot_inv(dq, ropeq_ref[...])
+        dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _flash_bwd_impl(q, k, v, k_lens, out, lse, g, scale, block_q, block_k):
+def _make_bwd_kernel(body, apply_rope, **kw):
+    def kernel(*refs):
+        i = 1
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = refs[i : i + 6]
+        i += 6
+        ropeq_ref = ropek_ref = None
+        if apply_rope:
+            ropeq_ref, ropek_ref = refs[i : i + 2]
+            i += 2
+        rest = refs[i:]
+        body(
+            refs[0], q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+            ropeq_ref, ropek_ref, *rest, **kw,
+        )
+
+    return kernel
+
+
+def _flash_bwd_impl(q, k, v, k_lens, rope, out, lse, g, scale, block_q, block_k):
     b, lq, n, d = q.shape
     lk = k.shape[1]
     pad_q = (-lq) % block_q
@@ -315,20 +483,33 @@ def _flash_bwd_impl(q, k, v, k_lens, out, lse, g, scale, block_q, block_k):
     klens32 = k_lens.astype(jnp.int32)
     nq, nk = lqp // block_q, lkp // block_k
 
+    apply_rope = rope is not None
+    rope_inputs = []
+    if apply_rope:
+        ropeq = _pad_rope(rope, lqp)
+        ropek = _pad_rope(rope, lkp) if lkp != lqp else ropeq
+        rope_inputs = [ropeq, ropek]
+
     common = dict(scale=scale, block_k=block_k, num_heads=n)
+
+    dkdv_in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, ik, iq, *_: (bh, iq, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, ik, iq, *_: (bh, ik, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, ik, iq, *_: (bh, ik, 0)),
+        pl.BlockSpec((1, block_q, d), lambda bh, ik, iq, *_: (bh, iq, 0)),
+        pl.BlockSpec((1, block_q, 128), lambda bh, ik, iq, *_: (bh, iq, 0)),
+        pl.BlockSpec((1, block_q, 128), lambda bh, ik, iq, *_: (bh, iq, 0)),
+    ]
+    if apply_rope:
+        dkdv_in_specs.append(pl.BlockSpec((block_q, d), lambda bh, ik, iq, *_: (iq, 0)))
+        dkdv_in_specs.append(pl.BlockSpec((block_k, d), lambda bh, ik, iq, *_: (ik, 0)))
+
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkdv_kernel, **common),
+        _make_bwd_kernel(_bwd_dkdv_body, apply_rope, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b * n, nk, nq),
-            in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda bh, ik, iq, *_: (bh, iq, 0)),
-                pl.BlockSpec((1, block_k, d), lambda bh, ik, iq, *_: (bh, ik, 0)),
-                pl.BlockSpec((1, block_k, d), lambda bh, ik, iq, *_: (bh, ik, 0)),
-                pl.BlockSpec((1, block_q, d), lambda bh, ik, iq, *_: (bh, iq, 0)),
-                pl.BlockSpec((1, block_q, 128), lambda bh, ik, iq, *_: (bh, iq, 0)),
-                pl.BlockSpec((1, block_q, 128), lambda bh, ik, iq, *_: (bh, iq, 0)),
-            ],
+            in_specs=dkdv_in_specs,
             out_specs=[
                 pl.BlockSpec((1, block_k, d), lambda bh, ik, iq, *_: (bh, ik, 0)),
                 pl.BlockSpec((1, block_k, d), lambda bh, ik, iq, *_: (bh, ik, 0)),
@@ -345,21 +526,26 @@ def _flash_bwd_impl(q, k, v, k_lens, out, lse, g, scale, block_q, block_k):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
-    )(klens32, qp, kp, vp, dop, lse, delta)
+    )(klens32, qp, kp, vp, dop, lse, delta, *rope_inputs)
+
+    dq_in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0)),
+        pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0)),
+        pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik, *_: (bh, iq, 0)),
+        pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik, *_: (bh, iq, 0)),
+    ]
+    if apply_rope:
+        dq_in_specs.append(pl.BlockSpec((block_q, d), lambda bh, iq, ik, *_: (iq, 0)))
+        dq_in_specs.append(pl.BlockSpec((block_k, d), lambda bh, iq, ik, *_: (ik, 0)))
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, **common),
+        _make_bwd_kernel(_bwd_dq_body, apply_rope, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b * n, nq, nk),
-            in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0)),
-                pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0)),
-                pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0)),
-                pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0)),
-                pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik, *_: (bh, iq, 0)),
-                pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik, *_: (bh, iq, 0)),
-            ],
+            in_specs=dq_in_specs,
             out_specs=pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0)),
             scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         ),
@@ -367,7 +553,7 @@ def _flash_bwd_impl(q, k, v, k_lens, out, lse, g, scale, block_q, block_k):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
-    )(klens32, qp, kp, vp, dop, lse, delta)
+    )(klens32, qp, kp, vp, dop, lse, delta, *rope_inputs)
 
     def from_bh(x, l, orig_l):
         return x.reshape(b, n, l, d).transpose(0, 2, 1, 3)[:, :orig_l]
@@ -380,21 +566,25 @@ def _flash_bwd_impl(q, k, v, k_lens, out, lse, g, scale, block_q, block_k):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash(q, k, v, k_lens, scale, block_q, block_k):
-    out, _ = _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k, with_lse=False)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash(q, k, v, k_lens, rope, scale, block_q, block_k):
+    out, _ = _flash_fwd_impl(
+        q, k, v, k_lens, rope, scale, block_q, block_k, with_lse=False
+    )
     return out
 
 
-def _flash_fwd(q, k, v, k_lens, scale, block_q, block_k):
-    out, lse = _flash_fwd_impl(q, k, v, k_lens, scale, block_q, block_k)
-    return out, (q, k, v, k_lens, out, lse)
+def _flash_fwd(q, k, v, k_lens, rope, scale, block_q, block_k):
+    out, lse = _flash_fwd_impl(q, k, v, k_lens, rope, scale, block_q, block_k)
+    return out, (q, k, v, k_lens, rope, out, lse)
 
 
 def _flash_bwd(scale, block_q, block_k, res, g):
-    q, k, v, k_lens, out, lse = res
-    dq, dk, dv = _flash_bwd_impl(q, k, v, k_lens, out, lse, g, scale, block_q, block_k)
-    return dq, dk, dv, None
+    q, k, v, k_lens, rope, out, lse = res
+    dq, dk, dv = _flash_bwd_impl(
+        q, k, v, k_lens, rope, out, lse, g, scale, block_q, block_k
+    )
+    return dq, dk, dv, None, None
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -408,10 +598,18 @@ def flash_attention(
     k_lens: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     causal: bool = False,
+    rope: Optional[jnp.ndarray] = None,
+    quant: str = "none",
     block_q: int = 1024,
     block_k: int = 1024,
 ) -> jnp.ndarray:
-    """Flash attention: q [B, Lq, N, D], k/v [B, Lk, N, D] -> [B, Lq, N, D]."""
+    """Flash attention: q [B, Lq, N, D], k/v [B, Lk, N, D] -> [B, Lq, N, D].
+
+    rope: optional packed [L, D] cos||sin table (`ops/rope.py:pack_split`) —
+      q/k must then be in split-pair channel layout (pre-permuted weights).
+    quant: "none" | "qk" | "qkpv" — int8 MXU fast paths (inference only; the
+      quantized paths are not differentiable).
+    """
     if causal:
         raise NotImplementedError("causal masking is not used by the Wan models")
     b, _, _, d = q.shape
@@ -422,7 +620,49 @@ def flash_attention(
         k_lens = jnp.full((b,), lk, dtype=jnp.int32)
     block_q = min(block_q, _round_up(q.shape[1], 128))
     block_k = min(block_k, _round_up(lk, 128))
-    return _flash(q, k, v, k_lens, float(scale), block_q, block_k)
+    if quant != "none":
+        out, _ = _flash_fwd_impl(
+            q, k, v, k_lens, rope, float(scale), block_q, block_k,
+            with_lse=False, quant=quant,
+        )
+        return out
+    return _flash(q, k, v, k_lens, rope, float(scale), block_q, block_k)
+
+
+def flash_attention_with_stats(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    k_lens: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    rope: Optional[jnp.ndarray] = None,
+    quant: str = "none",
+    block_q: int = 1024,
+    block_k: int = 1024,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward returning (out [B, Lq, N, D], lse [B, Lq, N] fp32).
+
+    The log-sum-exp output makes partial results combinable — the primitive
+    ring attention needs (`ops/ring_attention.py`): two partials (o1, lse1),
+    (o2, lse2) over disjoint key sets merge as
+    ``o = (o1 * e1 + o2 * e2) / (e1 + e2)`` with ``ei = exp(lsei - max)``.
+    """
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+    if scale is None:
+        scale = d**-0.5
+    if k_lens is None:
+        k_lens = jnp.full((b,), lk, dtype=jnp.int32)
+    block_q = min(block_q, _round_up(lq, 128))
+    block_k = min(block_k, _round_up(lk, 128))
+    out, lse = _flash_fwd_impl(
+        q, k, v, k_lens, rope, float(scale), block_q, block_k,
+        with_lse=True, quant=quant,
+    )
+    lqp = _round_up(lq, block_q)
+    lse = lse[:, :, 0].reshape(b, n, lqp)[:, :, :lq].transpose(0, 2, 1)
+    return out, lse
 
 
 def _round_up(x: int, m: int) -> int:

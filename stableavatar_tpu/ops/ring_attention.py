@@ -3,26 +3,29 @@
 TPU-native replacement for xfuser's ring long-context attention
 (`wan/dist/wan_xfuser.py:72-115`, ring x ulysses composition at
 `inference.py:445-449`): K/V shards rotate around the ICI ring with
-`lax.ppermute` while each device accumulates flash-attention partial
-statistics (unnormalized acc, running max m, running sum l) for its local
-queries — the online-softmax identity makes the per-shard partials exactly
-combinable:
+`lax.ppermute` while each device accumulates combinable flash-attention
+partials for its local queries.  Partials are carried in normalized form
+(o_i = acc_i / l_i, lse_i = m_i + log l_i); two partials over disjoint key
+sets merge exactly as
 
-    m* = max_i m_i,  l* = Σ l_i e^{m_i - m*},  acc* = Σ acc_i e^{m_i - m*}
+    lse* = logsumexp_i(lse_i),   o* = sum_i o_i * exp(lse_i - lse*)
 
 Use when a single device cannot hold the full K/V (14B at long sequence);
 for everything smaller the Ulysses-style head resharding in
 `models/dit.py::_self_attention` is cheaper (one all-to-all pair instead of
 W-1 permutes).
 
-The per-chunk partials come from the Pallas flash kernel on TPU
-(`flash_attention_with_stats`) and a jnp fallback elsewhere — which also
-makes the ring logic testable on the virtual CPU mesh.
+The per-chunk partials come from the fused Pallas flash kernel
+(`ops/flash_attention.py:flash_attention_with_stats`, which emits LSE from
+the same online-softmax pass) on TPU, and from an equivalent jnp reference
+on CPU — which also makes the ring logic testable on the virtual CPU mesh.
+Rope must be applied to q/k before entering the ring (positions are global;
+each device's k chunk keeps rotating), so the in-kernel rope fusion is not
+used here.  `quant` selects the int8 MXU path per chunk.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -32,30 +35,28 @@ from stableavatar_tpu.ops import flash_attention as fa
 
 
 def _stats_jnp(q, k, v, scale):
-    """Unnormalized attention partials, jnp reference path.
-
-    Returns acc [B, Lq, N, D] f32, m [B, Lq, N] f32, l [B, Lq, N] f32.
-    """
+    """(o, lse) partials, jnp reference path (materializes [B,N,Lq,Lk] —
+    CPU/testing only).  o [B, Lq, N, D] in q.dtype, lse [B, Lq, N] f32."""
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     s = jnp.einsum("bqnd,bknd->bnqk", qf, kf) * scale
     m = jnp.max(s, axis=-1)  # [B, N, Lq]
     p = jnp.exp(s - m[..., None])
     l = jnp.sum(p, axis=-1)
-    acc = jnp.einsum("bnqk,bknd->bqnd", p, v.astype(jnp.float32))
-    return acc, m.transpose(0, 2, 1), l.transpose(0, 2, 1)
+    o = jnp.einsum("bnqk,bknd->bqnd", p, v.astype(jnp.float32))
+    o = o / jnp.maximum(l[..., None].transpose(0, 2, 1, 3), 1e-30)
+    lse = (m + jnp.log(jnp.maximum(l, 1e-30))).transpose(0, 2, 1)
+    return o.astype(q.dtype), lse
 
 
-def flash_attention_with_stats(q, k, v, scale: Optional[float] = None):
-    """Per-chunk partial attention statistics.  Pallas on TPU (one extra
-    normalization pass is avoided by emitting acc/m/l), jnp elsewhere."""
+def attention_partials(q, k, v, scale: Optional[float] = None, quant: str = "none"):
+    """Per-chunk combinable partials (o, lse).  Fused Pallas kernel on TPU,
+    jnp reference elsewhere."""
     d = q.shape[-1]
     if scale is None:
         scale = d**-0.5
-    # Pallas stats variant: reuse the flash kernel then undo the
-    # normalization with a second tiny pass would lose m/l; for now the
-    # fused stats kernel is the jnp path on CPU and the normalized kernel +
-    # local stats on TPU (full fused stats kernel is a follow-up).
+    if jax.default_backend() == "tpu":
+        return fa.flash_attention_with_stats(q, k, v, scale=scale, quant=quant)
     return _stats_jnp(q, k, v, scale)
 
 
@@ -65,32 +66,37 @@ def ring_attention(
     v: jnp.ndarray,
     axis_name: str = "sp",
     scale: Optional[float] = None,
+    quant: str = "none",
 ) -> jnp.ndarray:
     """Attention with K/V rotating around the `axis_name` ring.
 
     Call under `shard_map` with q, k, v sequence-sharded over `axis_name`
-    (each device sees its local [B, L/W, N, D] chunks).  Output is the local
-    query chunk's attention over the GLOBAL key/value sequence.
+    (each device sees its local [B, L/W, N, D] chunks, rope already
+    applied).  Output is the local query chunk's attention over the GLOBAL
+    key/value sequence.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     w = jax.lax.psum(1, axis_name)
     perm = [(i, (i + 1) % w) for i in range(w)]
 
-    acc0, m0, l0 = flash_attention_with_stats(q, k, v, scale)
+    o0, lse0 = attention_partials(q, k, v, scale, quant)
 
     def body(i, carry):
-        k_cur, v_cur, acc, m, l = carry
+        k_cur, v_cur, o, lse = carry
         k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
         v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
-        acc_i, m_i, l_i = flash_attention_with_stats(q, k_cur, v_cur, scale)
-        m_new = jnp.maximum(m, m_i)
-        c_old = jnp.exp(m - m_new)
-        c_new = jnp.exp(m_i - m_new)
-        acc = acc * c_old[..., None] + acc_i * c_new[..., None]
-        l = l * c_old + l_i * c_new
-        return (k_cur, v_cur, acc, m_new, l)
+        o_i, lse_i = attention_partials(q, k_cur, v_cur, scale, quant)
+        m = jnp.maximum(lse, lse_i)
+        w_old = jnp.exp(lse - m)
+        w_new = jnp.exp(lse_i - m)
+        denom = w_old + w_new
+        o = (
+            o.astype(jnp.float32) * (w_old / denom)[..., None]
+            + o_i.astype(jnp.float32) * (w_new / denom)[..., None]
+        ).astype(o.dtype)
+        lse = m + jnp.log(denom)
+        return (k_cur, v_cur, o, lse)
 
-    _, _, acc, m, l = jax.lax.fori_loop(0, w - 1, body, (k, v, acc0, m0, l0))
-    out = acc / jnp.maximum(l[..., None], 1e-30)
-    return out.astype(q.dtype)
+    _, _, o, _ = jax.lax.fori_loop(0, w - 1, body, (k, v, o0, lse0))
+    return o.astype(q.dtype)

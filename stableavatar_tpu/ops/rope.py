@@ -137,3 +137,55 @@ jax.tree_util.register_pytree_node(
     lambda rf: ((rf.cos, rf.sin), None),
     lambda _, ch: RopeFreqs(*ch),
 )
+
+
+# ---------------------------------------------------------------------------
+# split-pair ("half") layout — the TPU kernel-fusion form
+# ---------------------------------------------------------------------------
+#
+# The reference stores rotation pairs interleaved over the head dim:
+# (0,1), (2,3), ... (`rope_apply` reshape to [..., d//2, 2],
+# `wan_fantasy_transformer3d_1B.py:295-323`).  Interleaved pair-swaps are lane
+# shuffles on the TPU VPU; rotating in a "split" layout where pair j lives at
+# channels (j, j + d/2) needs only two contiguous half-register slices.  Since
+# attention logits are invariant under any joint permutation of the q/k head
+# dim, we pre-permute the q/k projection weights once
+# (`split_pair_permutation`) and fuse the rotation into the flash kernel
+# (`ops/flash_attention.py`) with a packed [L, d] cos||sin table.
+
+
+def split_pair_permutation(head_dim: int, num_heads: int) -> np.ndarray:
+    """Channel permutation moving interleaved rope pairs to split layout.
+
+    Returns `perm` with `new[c] = old[perm[c]]` over `num_heads * head_dim`
+    channels: within each head, channel j < d/2 takes old channel 2j (pair
+    reals) and channel j >= d/2 takes old channel 2(j - d/2) + 1.
+    """
+    d = head_dim
+    half = d // 2
+    per_head = np.concatenate([np.arange(half) * 2, np.arange(half) * 2 + 1])
+    return np.concatenate([h * d + per_head for h in range(num_heads)])
+
+
+def pack_split(freqs: RopeFreqs) -> jnp.ndarray:
+    """Pack cos/sin tables as one [L, head_dim] fp32 array: [cos || sin].
+
+    Column j < d/2 is cos(angle_j) and column d/2 + j is sin(angle_j) for
+    rope pair j — the layout consumed by the fused flash kernel.
+    """
+    return jnp.concatenate([freqs.cos, freqs.sin], axis=1)
+
+
+def rope_apply_split(x: jnp.ndarray, packed: jnp.ndarray) -> jnp.ndarray:
+    """Apply rope to x [B, L, N, D] already in split-pair channel layout.
+
+    `packed` is `pack_split(freqs)` ([L, D] = cos||sin).  Reference math per
+    pair: (x0 + i x1)(cos + i sin).  Returns fp32 (as `rope_apply`).
+    """
+    b, l, n, d = x.shape
+    half = d // 2
+    xf = x.astype(jnp.float32)
+    x0, x1 = xf[..., :half], xf[..., half:]
+    c = packed[None, :, None, :half]
+    s = packed[None, :, None, half:]
+    return jnp.concatenate([x0 * c - x1 * s, x0 * s + x1 * c], axis=-1)

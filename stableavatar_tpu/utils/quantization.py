@@ -60,3 +60,43 @@ def dequantize_params(params, dtype=jnp.bfloat16):
         return leaf
 
     return jax.tree.map(visit, params, is_leaf=lambda x: is_quantized(x) or hasattr(x, "ndim"))
+
+
+# ---------------------------------------------------------------------------
+# int8 COMPUTE quantization (W8A8) — the MXU fast path
+# ---------------------------------------------------------------------------
+#
+# Distinct from the storage quant above: here the matmul itself runs on the
+# int8 MXU (394 TOPS on v5e = 2x bf16; measured 292 TOPS effective for the
+# full dynamic-quant W8A8 linear at the DiT FFN shape, scripts/
+# microbench_int8.py).  Weights are per-out-channel symmetric int8;
+# activations are quantized per token (dynamic absmax row scales) at use.
+# A linear param dict carries {"w8": {"q": int8 [d_in, d_out],
+# "s": f32 [d_out]}} instead of "w"; `apply_linear` dispatches on it.
+
+
+def quantize_weight_for_compute(w: jnp.ndarray):
+    """[.., d_in, d_out] float -> {'q': int8, 's': f32 [.., d_out]}."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale[..., None, :]), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": scale}
+
+
+def int8_linear(x: jnp.ndarray, w8, b=None) -> jnp.ndarray:
+    """y = x @ W (+ b) on the int8 MXU with dynamic per-row activation quant.
+
+    x: [..., d_in] float; w8: {'q': int8 [d_in, d_out], 's': f32 [d_out]}.
+    """
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-10)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, w8["q"], (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = (y.astype(jnp.float32) * sx * w8["s"].astype(jnp.float32)).astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
