@@ -259,6 +259,8 @@ def apply_block(
     x = x + y * e[2]
 
     normed = layer_norm(x, p["norm3"]["w"], p["norm3"]["b"], eps=cfg.eps)
+    # cross-attention stays bf16: at Lk = 512/257 the int8 prep overhead
+    # exceeds the MXU saving (measured, scripts/bench_dit_step.py)
     x = x + _cross_attention(
         p["cross_attn"],
         normed.astype(x.dtype),
@@ -269,7 +271,6 @@ def apply_block(
         cfg.num_heads,
         latents_num_frames,
         cfg.eps,
-        quant=attn_quant,
     )
 
     temp = (layer_norm(x, eps=cfg.eps) * (1 + e[4]) + e[3]).astype(x.dtype)

@@ -59,10 +59,22 @@ def attention(
     if use_pallas:
         from stableavatar_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(
-            q, k, v, k_lens=k_lens, scale=scale, causal=causal, rope=rope,
-            quant=quant,
-        )
+        if quant != "none":
+            # int8 path: rope fuses into the kernel's XLA quantization prep
+            return flash_attention(
+                q, k, v, k_lens=k_lens, scale=scale, causal=causal, rope=rope,
+                quant=quant,
+            )
+        if rope is not None:
+            # split-pair rotation as a fused XLA pass is faster than
+            # re-rotating per (q-block, k-block) cell inside the kernel
+            # (measured: scripts/bench_dit_step.py)
+            from stableavatar_tpu.ops.rope import rope_apply_split
+
+            dt = q.dtype
+            q = rope_apply_split(q, rope).astype(dt)
+            k = rope_apply_split(k, rope).astype(dt)
+        return flash_attention(q, k, v, k_lens=k_lens, scale=scale, causal=causal)
     if rope is not None:
         from stableavatar_tpu.ops.rope import rope_apply_split
 

