@@ -42,11 +42,14 @@ class AvatarService:
         num_inference_steps: int = 50,
         clip_length: int = 81,
         overlap_window_length: int = 15,
+        overlapping_weight_scheme: str = "uniform",
         seed_param: int = -1,
         enable_teacache: bool = False,
         teacache_threshold: float = 0.1,
         num_skip_start_steps: int = 5,
         fps: int = 25,
+        GPU_memory_mode: str = "model_cpu_offload",
+        motion_frame: int = 25,  # accepted-unused (reference parity)
     ):
         from stableavatar_tpu.models.teacache import TeaCache, get_teacache_coefficients
         from stableavatar_tpu.pipelines.long import generate_long
@@ -54,6 +57,12 @@ class AvatarService:
         from stableavatar_tpu.utils.video_io import save_videos_grid
 
         seed = seed_param if seed_param >= 0 else random.randint(0, 2**31 - 1)
+
+        # reference semantics: threshold 0 disables TeaCache (app.py:284)
+        if teacache_threshold <= 0:
+            enable_teacache = False
+        del GPU_memory_mode, motion_frame  # param-location modes are a
+        # load-time decision on TPU (cli/inference.py); accepted for parity
 
         if enable_teacache:
             coef = get_teacache_coefficients("wan2.1-t2v-1.3b")
@@ -79,6 +88,7 @@ class AvatarService:
             audio_guide_scale=audio_guidance_scale,
             clip_length=clip_length,
             overlap_window_length=overlap_window_length,
+            overlapping_weight_scheme=overlapping_weight_scheme,
             fps=fps,
             sr=sr,
             seed=seed,
@@ -110,35 +120,75 @@ def build_ui(service: AvatarService):
         ) from e
 
     with gr.Blocks(title="StableAvatar-TPU") as demo:
-        with gr.Tab("Avatar Generation"):
-            image = gr.Image(type="filepath", label="Reference Image")
-            audio = gr.Audio(type="filepath", label="Vocal Audio")
-            prompt = gr.Textbox(label="Prompt")
-            negative = gr.Textbox(label="Negative Prompt")
+        with gr.Tab("Avatar Generation 数字人生成"):
+            # knob surface mirrors the reference UI (app.py:280-496),
+            # bilingual labels included
+            image = gr.Image(type="filepath", label="Reference Image 参考图片")
+            audio = gr.Audio(type="filepath", label="Vocal Audio 人声音频")
+            prompt = gr.Textbox(label="Prompt 提示词")
+            negative = gr.Textbox(label="Negative Prompt 负面提示词")
             with gr.Row():
-                width = gr.Slider(256, 1024, 512, step=64, label="Width")
-                height = gr.Slider(256, 1024, 512, step=64, label="Height")
+                width = gr.Slider(256, 1024, 512, step=64, label="Width 宽度")
+                height = gr.Slider(256, 1024, 512, step=64, label="Height 高度")
+                clip_frames = gr.Slider(
+                    17, 161, 81, step=4,
+                    label="Clip Sample Frames 视频帧数 (4n+1; 81=2s@25fps)",
+                )
             with gr.Row():
-                steps = gr.Slider(10, 100, 50, step=1, label="Steps")
-                cfg_t = gr.Slider(1.0, 10.0, 3.0, label="Text CFG")
-                cfg_a = gr.Slider(1.0, 10.0, 5.0, label="Audio CFG")
+                steps = gr.Slider(10, 100, 50, step=1,
+                                  label="Sampling Steps 采样步数 (Recommended 50)")
+                cfg_t = gr.Slider(1.0, 10.0, 3.0, label="Text Guidance 文本引导")
+                cfg_a = gr.Slider(1.0, 10.0, 5.0, label="Audio Guidance 音频引导")
             with gr.Row():
-                overlap = gr.Slider(0, 20, 15, step=1, label="Overlap Window")
-                seed = gr.Number(-1, label="Seed (-1 random)")
-                teacache = gr.Checkbox(False, label="TeaCache (thr 0.1, skip 5)")
-            out_video = gr.Video(label="Result")
-            out_seed = gr.Number(label="Used Seed")
-            gr.Button("Generate").click(
-                lambda *a: service.generate(
-                    a[0], a[1], a[2], a[3], int(a[4]), int(a[5]),
-                    a[6], a[7], int(a[8]), seed_param=int(a[10]),
-                    overlap_window_length=int(a[9]), enable_teacache=a[11],
-                )[:2],
-                [image, audio, prompt, negative, width, height, cfg_t, cfg_a,
-                 steps, overlap, seed, teacache],
+                overlap = gr.Slider(0, 20, 15, step=1,
+                                    label="Overlap Window Length 重叠窗口")
+                scheme = gr.Dropdown(["uniform", "log"], value="uniform",
+                                     label="Overlap Weight Scheme 融合权重")
+                fps = gr.Slider(8, 30, 25, step=1, label="FPS 帧率")
+            with gr.Row():
+                memory_mode = gr.Dropdown(
+                    ["model_full_load", "model_cpu_offload",
+                     "model_cpu_offload_and_qfloat8", "sequential_cpu_offload"],
+                    value="model_cpu_offload",
+                    label="Memory Mode 显存模式",
+                    info="TPU: param placement decided at load time; "
+                         "model_cpu_offload releases umT5 after encode",
+                )
+                motion = gr.Slider(1, 50, 25, step=1,
+                                   label="Motion Frame 运动帧 (parity; unused)")
+            with gr.Row():
+                tc_thresh = gr.Slider(
+                    0.0, 0.3, 0.0, step=0.01,
+                    label="TeaCache Threshold 阈值 (0 disables; recommended 0.1)",
+                )
+                tc_skip = gr.Slider(0, 10, 5, step=1,
+                                    label="Skip Start Steps 起始跳过 (Recommended 5)")
+                seed = gr.Number(-1, label="Seed 种子 (-1 random)")
+            out_video = gr.Video(label="Result 结果")
+            out_seed = gr.Number(label="Used Seed 使用的种子")
+
+            def _generate(img, aud, pr, neg, w, h, cf, st, ct, ca, ov, sch,
+                          fp, mm, mo, tt, ts, sd):
+                video, used_seed, _ = service.generate(
+                    img, aud, pr, neg, int(w), int(h),
+                    guidance_scale=ct, audio_guidance_scale=ca,
+                    num_inference_steps=int(st), clip_length=int(cf),
+                    overlap_window_length=int(ov),
+                    overlapping_weight_scheme=sch, seed_param=int(sd),
+                    enable_teacache=tt > 0, teacache_threshold=tt,
+                    num_skip_start_steps=int(ts), fps=int(fp),
+                    GPU_memory_mode=mm, motion_frame=int(mo),
+                )
+                return video, used_seed
+
+            gr.Button("Generate 生成").click(
+                _generate,
+                [image, audio, prompt, negative, width, height, clip_frames,
+                 steps, cfg_t, cfg_a, overlap, scheme, fps, memory_mode,
+                 motion, tc_thresh, tc_skip, seed],
                 [out_video, out_seed],
             )
-        with gr.Tab("Audio Extraction"):
+        with gr.Tab("Audio Extraction 音频提取"):
             vid_in = gr.Video(label="Video")
             wav_out = gr.Audio(label="Extracted WAV", type="filepath")
 
@@ -150,7 +200,7 @@ def build_ui(service: AvatarService):
                 return out
 
             gr.Button("Extract").click(_extract, [vid_in], [wav_out])
-        with gr.Tab("Vocal Separation"):
+        with gr.Tab("Vocal Separation 人声分离"):
             wav_in = gr.Audio(label="Audio", type="filepath")
             vocal_out = gr.Audio(label="Vocals", type="filepath")
 

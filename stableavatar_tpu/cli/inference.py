@@ -6,10 +6,13 @@ the TPU stack:
 - `--ulysses_degree/--ring_degree` -> the 'sp' mesh axis size (both forms of
   sequence parallelism are one GSPMD sharding here);
 - `--fsdp_dit` -> parameter sharding over the 'fsdp' axis;
-- `--GPU_memory_mode` -> kept for compatibility: TPU bf16 params replace
-  fp8/offload modes (`model_full_load` is the only mode that changes
-  behavior);
-- TeaCache flags map to the host-side controller.
+- `--GPU_memory_mode` -> any offload mode (the default here) keeps umT5-xxl
+  in host RAM and encodes prompts on the CPU backend — the 16 GB v5e analog
+  of the reference's 13 GB `model_cpu_offload`; `--t5_cpu` (parsed-only in
+  the reference) does the same explicitly;
+- TeaCache flags map to the host-side controller;
+- `--fast_path` enables the TPU int8/fused-rope inference path
+  (utils/fastpath.py).
 
 Run: python -m stableavatar_tpu.cli.inference --config_path ... (see --help)
 """
@@ -52,14 +55,27 @@ def build_parser() -> argparse.ArgumentParser:
     # model family
     p.add_argument("--model_family", type=str, default="1.3B", choices=["1.3B", "14B"])
     # memory / speed
-    p.add_argument("--GPU_memory_mode", type=str, default="model_full_load",
+    # default differs from the reference's model_full_load: a 16 GB v5e
+    # cannot hold umT5-xxl + DiT + activations (the reference targets 25 GB
+    # GPUs, app.py:283); model_cpu_offload == encode-then-release here
+    p.add_argument("--GPU_memory_mode", type=str, default="model_cpu_offload",
                    choices=["model_full_load", "model_cpu_offload",
                             "model_cpu_offload_and_qfloat8", "sequential_cpu_offload"])
     p.add_argument("--enable_teacache", action="store_true")
     p.add_argument("--teacache_threshold", type=float, default=0.1)
     p.add_argument("--num_skip_start_steps", type=int, default=5)
     p.add_argument("--teacache_offload", action="store_true")
+    # TPU inference fast path (utils/fastpath.py): split-pair rope layout +
+    # int8 MXU attention/linears.  "qk" quantizes self-attention QK^T;
+    # "linears" additionally runs block projections/FFN as W8A8
+    p.add_argument("--fast_path", type=str, default="off",
+                   choices=["off", "rope", "qk", "linears"])
     # parallelism (reference: xfuser ulysses/ring + FSDP)
+    # multi-host bootstrap (parallel/distributed.py; reference scale-out is
+    # 8 machines x 8 GPUs via Accelerate static rendezvous)
+    p.add_argument("--coordinator_address", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--ulysses_degree", type=int, default=1)
     p.add_argument("--ring_degree", type=int, default=1)
     p.add_argument("--fsdp_dit", action="store_true")
@@ -71,6 +87,8 @@ def build_parser() -> argparse.ArgumentParser:
 def load_models(args):
     """Assemble the WanModels bundle from checkpoints (or random init when no
     checkpoint paths are given — useful for smoke runs)."""
+    import contextlib
+
     import jax
     import jax.numpy as jnp
 
@@ -110,15 +128,37 @@ def load_models(args):
         vae_params = ckpt.convert_vae(sd, vae_cfg)
     else:
         vae_params = init_vae(ks[1], vae_cfg)
+    vae_params = cast_params(vae_params, jnp.bfloat16)
 
     from stableavatar_tpu.config import T5Config, CLIPConfig, Wav2Vec2Config
 
     t5_cfg = T5Config()
-    if maybe("models_t5_umt5-xxl-enc-bf16.pth"):
-        sd = ckpt.load_torch_state_dict(os.path.join(root, "models_t5_umt5-xxl-enc-bf16.pth"))
-        t5_params = ckpt.convert_t5(sd, t5_cfg)
-    else:
-        t5_params = init_t5(ks[2], t5_cfg)
+    # umT5-xxl is ~11.4 GB bf16 and is used exactly once per request; on a
+    # 16 GB v5e it cannot coexist with the DiT + decode working set, so any
+    # mode but model_full_load keeps it in HOST RAM and encodes on the CPU
+    # backend (the reference's --t5_cpu, which it only parses;
+    # inference.py:316-324) — encode_prompt_ids routes by param device.
+    t5_host = getattr(args, "t5_cpu", False) or (
+        getattr(args, "GPU_memory_mode", "model_full_load") != "model_full_load"
+    )
+    t5_device_ctx = (
+        jax.default_device(jax.local_devices(backend="cpu")[0])
+        if t5_host else contextlib.nullcontext()
+    )
+    # host CPU runs f32 (CPU bf16 gemms are emulated and ~100x slower);
+    # device runs bf16 (umt5-xxl f32 is ~21 GB — over HBM)
+    t5_dtype = jnp.float32 if t5_host else jnp.bfloat16
+    with t5_device_ctx:
+        if maybe("models_t5_umt5-xxl-enc-bf16.pth"):
+            sd = ckpt.load_torch_state_dict(os.path.join(root, "models_t5_umt5-xxl-enc-bf16.pth"))
+            t5_params = cast_params(ckpt.convert_t5(sd, t5_cfg), t5_dtype)
+        else:
+            # init+cast fused in ONE jit: a separate f32 init would
+            # materialize the full 21 GB tree before a bf16 cast
+            t5_params = jax.jit(
+                lambda k: cast_params(init_t5(k, t5_cfg), t5_dtype)
+            )(ks[2])
+        jax.block_until_ready(jax.tree.leaves(t5_params)[0])
 
     clip_cfg = CLIPConfig()
     if maybe("models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth"):
@@ -128,6 +168,7 @@ def load_models(args):
         clip_params = ckpt.convert_clip_visual(sd, clip_cfg)
     else:
         clip_params = init_clip_visual(ks[3], clip_cfg)
+    clip_params = cast_params(clip_params, jnp.bfloat16)
 
     w2v_cfg = Wav2Vec2Config()
     if args.pretrained_wav2vec_path and os.path.isdir(args.pretrained_wav2vec_path):
@@ -169,6 +210,23 @@ def load_models(args):
                 truncation=True, add_special_tokens=True, return_tensors="np",
             )
             return out["input_ids"][0], out["attention_mask"][0]
+    else:
+        # no umT5 tokenizer on disk (random-weight smoke runs): fall back to
+        # a deterministic byte-level tokenizer so the CLI still runs e2e
+        print("[stableavatar-tpu] no umt5 tokenizer found - using byte-level "
+              "fallback (smoke mode; outputs are not meaningful without "
+              "checkpoints)")
+
+        def tokenizer(text):
+            import numpy as _np
+
+            ids = _np.zeros(t5_cfg.text_len, dtype=_np.int32)
+            toks = [b % (t5_cfg.vocab - 2) + 2 for b in text.encode()][: t5_cfg.text_len - 1]
+            ids[: len(toks)] = toks
+            ids[len(toks)] = 1  # eos
+            mask = _np.zeros(t5_cfg.text_len, dtype=_np.int32)
+            mask[: len(toks) + 1] = 1
+            return ids, mask
 
     teacache = None
     if args.enable_teacache:
@@ -179,6 +237,17 @@ def load_models(args):
             coef, args.sample_steps, rel_l1_thresh=args.teacache_threshold,
             num_skip_start_steps=args.num_skip_start_steps,
         )
+
+    rope_split = False
+    attn_quant = "none"
+    if getattr(args, "fast_path", "off") != "off":
+        from stableavatar_tpu.utils.fastpath import prepare_fast_params
+
+        dit_params = prepare_fast_params(
+            dit_params, cfg, quant=args.fast_path == "linears"
+        )
+        rope_split = True
+        attn_quant = "qk" if args.fast_path in ("qk", "linears") else "none"
 
     return WanModels(
         dit_params=dit_params,
@@ -193,6 +262,8 @@ def load_models(args):
         wav2vec_cfg=w2v_cfg,
         tokenizer=tokenizer,
         teacache=teacache,
+        rope_split=rope_split,
+        attn_quant=attn_quant,
     )
 
 
@@ -205,6 +276,12 @@ def main(argv=None):
     from stableavatar_tpu.utils.media import load_image, load_wav
     from stableavatar_tpu.utils.video_io import save_videos_grid
 
+    from stableavatar_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed(
+        args.coordinator_address, args.num_processes, args.process_id
+    )
+
     import jax
 
     sp = args.ulysses_degree * args.ring_degree
@@ -215,10 +292,28 @@ def main(argv=None):
     if sp > 1 or fsdp > 1:
         mesh = make_mesh(dp=1, fsdp=fsdp, sp=sp)
 
+    import time as _time
+
+    _t0 = _time.time()
     models = load_models(args)
+    print(f"[stableavatar-tpu] models loaded ({_time.time()-_t0:.0f}s)", flush=True)
 
     ref = load_image(args.validation_reference_path, (args.width, args.height))
     wav, _ = load_wav(args.validation_driven_audio_path, args.sample_rate)
+
+    # encode the prompt up front, then release umT5 from device HBM — the
+    # TPU analog of the reference's model_cpu_offload (inference.py:513-524):
+    # umT5-xxl bf16 is ~9.5 GB and is needed exactly once per request; a
+    # 16 GB v5e cannot hold it alongside the DiT + activations
+    from stableavatar_tpu.pipelines.common import encode_prompts
+
+    text_ctx = None
+    if models.tokenizer is not None:
+        text_ctx = encode_prompts(
+            models, args.validation_prompts, args.negative_prompts
+        )
+        text_ctx.block_until_ready()
+        print(f"[stableavatar-tpu] prompt encoded ({_time.time()-_t0:.0f}s)", flush=True)
 
     with mesh_context(mesh):
         if mesh is not None:
@@ -227,6 +322,7 @@ def main(argv=None):
             models,
             ref_image=ref,
             vocal_waveform=wav,
+            text_ctx=text_ctx,
             prompt=args.validation_prompts,
             negative_prompt=args.negative_prompts,
             num_inference_steps=args.sample_steps,
@@ -240,6 +336,7 @@ def main(argv=None):
             seed=args.seed,
         )
 
+    print(f"[stableavatar-tpu] generation done ({_time.time()-_t0:.0f}s)", flush=True)
     os.makedirs(args.output_dir, exist_ok=True)
     out_path = os.path.join(args.output_dir, f"video_seed{args.seed}.mp4")
     save_videos_grid(out.videos, out_path, fps=args.fps)

@@ -43,6 +43,8 @@ def build_parser():
     p.add_argument("--gradient_checkpointing", action="store_true", default=True)
     p.add_argument("--use_8bit_adam", action="store_true",
                    help="maps to int8 weight storage on TPU (optax state stays fp32)")
+    p.add_argument("--use_came", action="store_true",
+                   help="CAME optimizer (reference --use_came, train/came.py)")
     p.add_argument("--uniform_sampling", action="store_true", default=True)
     p.add_argument("--weighting_scheme", type=str, default=None)
     p.add_argument("--motion_sub_loss", action="store_true")
@@ -60,6 +62,12 @@ def build_parser():
     p.add_argument("--validation_reference_path", type=str, default=None)
     p.add_argument("--validation_driven_audio_path", type=str, default=None)
     # parallelism (replaces accelerate_config/*.yaml + deepspeed JSONs)
+    # multi-host: one jax.distributed.initialize per process
+    # (parallel/distributed.py; reference: 8 machines x 8 GPUs, Accelerate
+    # static rendezvous)
+    p.add_argument("--coordinator_address", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1)
@@ -71,6 +79,13 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    # must run before any other jax API touches the backend
+    from stableavatar_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed(
+        args.coordinator_address, args.num_processes, args.process_id
+    )
 
     import jax
 
@@ -96,6 +111,8 @@ def main(argv=None):
         uniform_sampling=args.uniform_sampling,
         remat=args.gradient_checkpointing,
         video_sample_n_frames=args.video_sample_n_frames,
+        use_8bit_adam=args.use_8bit_adam,
+        use_came=args.use_came,
     )
 
     size = (args.video_sample_size, args.video_sample_size)
@@ -121,7 +138,12 @@ def main(argv=None):
 
     mesh = None
     if args.dp * args.fsdp * args.sp > 1:
-        mesh = make_mesh(dp=args.dp, fsdp=args.fsdp, sp=args.sp)
+        if jax.process_count() > 1:
+            from stableavatar_tpu.parallel.distributed import make_multihost_mesh
+
+            mesh = make_multihost_mesh(dp=args.dp, fsdp=args.fsdp, sp=args.sp)
+        else:
+            mesh = make_mesh(dp=args.dp, fsdp=args.fsdp, sp=args.sp)
 
     validation_cfg = None
     if args.validation_steps and args.validation_reference_path:

@@ -72,7 +72,6 @@ class TalkingVideoDataset:
         clip_length: int = 81,
         fps: int = 25,
         sr: int = 16000,
-        audio_dropout_prob: float = 0.1,
         enable_inpaint: bool = True,
         seed: int = 0,
     ):
@@ -84,7 +83,6 @@ class TalkingVideoDataset:
         self.clip_length = clip_length
         self.fps = fps
         self.sr = sr
-        self.audio_dropout_prob = audio_dropout_prob
         self.enable_inpaint = enable_inpaint
         self.rng = np.random.default_rng(seed)
 
@@ -137,8 +135,9 @@ class TalkingVideoDataset:
         else:
             audio = np.zeros(cl * spf, np.float32)
 
-        if self.rng.random() < self.audio_dropout_prob:
-            audio = np.zeros_like(audio)
+        # NOTE: the 10% audio dropout happens in train/loop.py:encode_batch
+        # on the wav2vec EMBEDDINGS, matching the reference call site
+        # (train_1B_square.py:1193-1194) — not here on the raw waveform.
 
         # motion score from frame cosine similarity (`:283-296`)
         flat = pixels.reshape(3, cl, -1)

@@ -149,12 +149,21 @@ def cast_params(params, dtype=jnp.bfloat16):
 
 
 def _self_attention(p, x, freqs: RopeFreqs, num_heads, eps, rope_packed=None,
-                    quant="none"):
+                    quant="none", attn_impl="ulysses"):
     """WanSelfAttention (`wan_fantasy_transformer3d_1B.py:358-413`).
 
     With `rope_packed` (fast path, `utils/fastpath.py`), q/k weights are in
     split-pair layout and the rotation is fused into the flash kernel;
     otherwise rope is applied out-of-kernel from the interleaved tables.
+
+    attn_impl selects the sequence-parallel strategy on an 'sp' mesh axis
+    (reference: xfuser ulysses x ring, `inference.py:445-449`):
+    - "ulysses": reshard tokens->heads (one all-to-all pair) and run full
+      attention per head group — the right choice while one device can hold
+      the full K/V of a head subset;
+    - "ring": keep tokens sharded, rotate K/V shards with ppermute while
+      accumulating combinable flash partials (`ops/ring_attention.py`) —
+      for 14B/long-context where K/V per head exceeds one device.
     """
     b, l, dim = x.shape
     d = dim // num_heads
@@ -165,9 +174,43 @@ def _self_attention(p, x, freqs: RopeFreqs, num_heads, eps, rope_packed=None,
         # rope_apply returns fp32; cast back below keeps the MXU in bf16
         q = rope_apply(q, freqs).astype(x.dtype)
         k = rope_apply(k, freqs).astype(x.dtype)
+    elif attn_impl == "ring":
+        # ring needs rope applied before K/V start rotating (global
+        # positions); split layout, out-of-kernel
+        from stableavatar_tpu.ops.rope import rope_apply_split
+
+        q = rope_apply_split(q, rope_packed).astype(x.dtype)
+        k = rope_apply_split(k, rope_packed).astype(x.dtype)
+        rope_packed = None
     else:
         q = q.astype(x.dtype)
         k = k.astype(x.dtype)
+
+    if attn_impl == "ring":
+        from stableavatar_tpu.parallel.mesh import current_mesh
+
+        mesh = current_mesh()
+        if mesh is not None and mesh.shape.get("sp", 1) > 1:
+            from functools import partial as _partial
+
+            from jax.sharding import PartitionSpec as P
+
+            from stableavatar_tpu.ops.ring_attention import ring_attention
+
+            shard_map = getattr(jax, "shard_map", None)
+            if shard_map is None:  # older jax
+                from jax.experimental.shard_map import shard_map
+            fn = shard_map(
+                _partial(ring_attention, axis_name="sp", quant=quant),
+                mesh=mesh,
+                in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp")),
+                out_specs=P(None, "sp"),
+                check_vma=False,
+            )
+            out = fn(q, k, v)
+            return apply_linear(p["o"], out.reshape(b, l, dim))
+        # no sp mesh: fall through to plain attention
+
     # Ulysses-style SP: reshard tokens->heads for full-sequence attention;
     # GSPMD compiles the reshard into an ICI all-to-all (replaces
     # xFuserLongContextAttention, wan/dist/wan_xfuser.py:72-115).
@@ -246,6 +289,7 @@ def apply_block(
     latents_num_frames: int,
     rope_packed=None,
     attn_quant="none",
+    attn_impl="ulysses",
 ):
     """WanAttentionBlock (`wan_fantasy_transformer3d_1B.py:650-695`)."""
     e = p["modulation"].astype(e0.dtype) + e0  # [B, 6, dim]
@@ -254,7 +298,7 @@ def apply_block(
     temp = (layer_norm(x, eps=cfg.eps) * (1 + e[1]) + e[0]).astype(x.dtype)
     y = _self_attention(
         p["self_attn"], temp, freqs, cfg.num_heads, cfg.eps,
-        rope_packed=rope_packed, quant=attn_quant,
+        rope_packed=rope_packed, quant=attn_quant, attn_impl=attn_impl,
     )
     x = x + y * e[2]
 
@@ -351,6 +395,8 @@ def dit_forward(
     return_residual: bool = False,
     rope_split: bool = False,
     attn_quant: str = "none",
+    attn_impl: str = "ulysses",
+    honor_vocal_k_lens: bool = True,
 ) -> jnp.ndarray:
     """One denoise evaluation.  Returns velocity prediction [B, 16, F, H, W].
 
@@ -363,6 +409,16 @@ def dit_forward(
     `utils/fastpath.py:prepare_fast_params` (split-pair q/k layout); rope is
     then fused into the flash kernel.  `attn_quant` in {"none","qk","qkpv"}
     selects the int8 MXU attention fast path (inference only).
+
+    `honor_vocal_k_lens=False` replicates the reference's torch-SDPA
+    deployment bit-for-bit: its `attention()` wrapper DROPS the vocal
+    padding masks on the SDPA fallback (`wan_fantasy_transformer3d_1B.py:
+    190-193` — the path actually taken by the 1B model, which
+    force-disables flash-attn at `:45-46`), so padded window positions
+    attend to the k_vocal/v_vocal bias vectors.  Default True = the
+    mathematically-intended masking (== the reference WITH flash-attn, the
+    14B path).  Use False for frame-level parity against a reference run
+    without flash-attn (scripts/parity_vs_torch.py).
     """
     b, _, f, h, w = x.shape
     pt, ph, pw = cfg.patch_size
@@ -403,6 +459,9 @@ def dit_forward(
             video_sample_n_frames,
         )
 
+    if not honor_vocal_k_lens:
+        vocal_k_lens = None
+
     latents_num_frames = (video_sample_n_frames - 1) // 4 + 1
     if is_clip_level_modeling:
         # clip-level (`:1011-1015`): all windows concatenated into one global
@@ -426,6 +485,7 @@ def dit_forward(
             latents_num_frames,
             rope_packed=rope_packed,
             attn_quant=attn_quant,
+            attn_impl=attn_impl,
         )
         return out, None
 

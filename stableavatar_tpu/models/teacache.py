@@ -81,12 +81,17 @@ class TeaCache:
         self.skipped_calls = 0
         self.total_calls = 0
 
-    def plan(self, modulated_input: jnp.ndarray) -> bool:
+    def plan(self, modulated_input: jnp.ndarray, can_skip: bool = True) -> bool:
         """Decide compute (True) vs skip (False) for this call and advance the
-        counter.  `modulated_input` is e0 (the projected time embedding)."""
+        counter.  `modulated_input` is e0 (the projected time embedding).
+
+        `can_skip=False` forces the compute path (and counts the call as
+        computed) — the pipeline passes it when no compatible cached residual
+        exists (first call, or a different window shape), so the skip
+        accounting reflects calls that actually skipped."""
         self.total_calls += 1
         skip_window = self.cnt < self.num_skip_start_steps
-        if self.cnt == 0 or self.cnt == self.num_steps - 1 or skip_window:
+        if self.cnt == 0 or self.cnt == self.num_steps - 1 or skip_window or not can_skip:
             should_calc = True
             self.accumulated = 0.0
         else:

@@ -44,6 +44,10 @@ class WanModels:
     wav2vec_cfg: Wav2Vec2Config = Wav2Vec2Config()
     tokenizer: Optional[Callable] = None  # callable(str) -> (ids, mask) np arrays
     teacache: Any = None  # optional TeaCache instance (models/teacache.py)
+    # inference fast path (utils/fastpath.py): dit_params must then be
+    # prepared by prepare_fast_params (split-pair q/k layout, W8A8 linears)
+    rope_split: bool = False
+    attn_quant: str = "none"
 
 
 def encode_prompt_ids(models: WanModels, ids: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -55,6 +59,20 @@ def encode_prompt_ids(models: WanModels, ids: jnp.ndarray, mask: jnp.ndarray) ->
     `wan_fantasy_transformer3d_1B.py:994-999`) — equivalent to masking the
     padded positions to zero at fixed length (static shapes for jit).
     """
+    # run on whatever device holds the T5 params: with --t5_cpu (or the
+    # model_cpu_offload analog) umT5-xxl lives in host RAM and encodes on
+    # the CPU backend — 11+ GB of HBM stays free for the DiT/VAE
+    import jax
+
+    leaves = jax.tree.leaves(models.t5_params)
+    t5_dev = getattr(leaves[0], "devices", lambda: set())()
+    t5_dev = next(iter(t5_dev), None)
+    if t5_dev is not None and t5_dev.platform != jax.default_backend():
+        ids_d = jax.device_put(ids, t5_dev)
+        mask_d = jax.device_put(mask, t5_dev)
+        emb = t5_encode(models.t5_params, models.t5_cfg, ids_d, mask_d)
+        emb = emb * mask_d[..., None].astype(emb.dtype)
+        return jax.device_put(np.asarray(emb), jax.devices()[0])
     emb = t5_encode(models.t5_params, models.t5_cfg, ids, mask)
     return emb * mask[..., None].astype(emb.dtype)
 

@@ -91,7 +91,10 @@ def plan_audio_slices(
 
 @partial(
     jax.jit,
-    static_argnames=("dit_cfg", "clip_length", "text_scale", "audio_scale"),
+    static_argnames=(
+        "dit_cfg", "clip_length", "text_scale", "audio_scale", "rope_split",
+        "attn_quant",
+    ),
     donate_argnums=(1,),
 )
 def _window_step(
@@ -108,6 +111,8 @@ def _window_step(
     clip_length: int,
     text_scale: float,
     audio_scale: float,
+    rope_split: bool = False,
+    attn_quant: str = "none",
 ):
     """One flow-matching step on one window: CFG triple -> DiT -> combine ->
     Euler update.  Donated latents buffer keeps HBM flat."""
@@ -125,6 +130,8 @@ def _window_step(
         video_sample_n_frames=clip_length,
         vocal_cfg_tile=True,
         return_residual=True,
+        rope_split=rope_split,
+        attn_quant=attn_quant,
     )
     noise_pred = guidance_combine_long(noise_pred, text_scale, audio_scale)
     new_lat = latents.astype(jnp.float32) + (sigma_next - sigma) * noise_pred
@@ -157,6 +164,71 @@ def _window_step_skip(
     return new_lat.astype(jnp.bfloat16)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "dit_cfg", "windows", "overlap", "text_scale", "audio_scale",
+        "rope_split", "attn_quant", "blend", "temporal_ratio",
+    ),
+    donate_argnums=(1,),
+)
+def _sweep_step(
+    params,
+    latents_all,  # [1, 16, infer_length, lh, lw]
+    y_full,  # [3, 20, fpb, lh, lw]
+    text_ctx,
+    clip_ctx,
+    vocal_embs,  # [W, 1, La, 768] stacked per-window features
+    t,
+    sigma,
+    sigma_next,
+    ramp,  # [1, 1, overlap, 1, 1] or None-shaped placeholder when blend=False
+    dit_cfg,
+    windows,  # static tuple of (start, end)
+    overlap: int,
+    text_scale: float,
+    audio_scale: float,
+    rope_split: bool,
+    attn_quant: str,
+    blend: bool,
+    temporal_ratio: int,
+):
+    """One full flow-matching step across ALL sliding windows in a single
+    jitted program — one device dispatch per step (the per-window Python
+    loop pays a dispatch round-trip per window on remote/tunneled hosts and
+    non-trivial host latency everywhere).  Used when TeaCache is off; the
+    TeaCache path keeps per-window host control flow."""
+    pred = jnp.zeros_like(latents_all)
+    tb = jnp.full((3,), t, dtype=jnp.float32)
+    prev_end = None
+    for wi, (s, e) in enumerate(windows):
+        f = e - s
+        clip_len_w = (f - 1) * temporal_ratio + 1
+        lat_win = jax.lax.dynamic_slice_in_dim(latents_all, s, f, axis=2)
+        lat3 = jnp.concatenate([lat_win] * 3, axis=0).astype(jnp.bfloat16)
+        noise_pred = dit_forward(
+            params, dit_cfg, lat3, tb, text_ctx, clip_ctx, y_full[:, :, :f],
+            vocal_embs[wi], video_sample_n_frames=clip_len_w,
+            vocal_cfg_tile=True, rope_split=rope_split, attn_quant=attn_quant,
+        )
+        noise_pred = guidance_combine_long(noise_pred, text_scale, audio_scale)
+        new_lat = (
+            lat_win.astype(jnp.float32) + (sigma_next - sigma) * noise_pred
+        ).astype(jnp.bfloat16)
+        if s != 0 and blend:
+            prev_tail = jax.lax.dynamic_slice_in_dim(
+                pred, prev_end - overlap, overlap, axis=2
+            )
+            head = new_lat[:, :, :overlap]
+            blended = head * ramp.astype(head.dtype) + prev_tail * (
+                1 - ramp
+            ).astype(head.dtype)
+            new_lat = jnp.concatenate([blended, new_lat[:, :, overlap:]], axis=2)
+        pred = jax.lax.dynamic_update_slice_in_dim(pred, new_lat, s, axis=2)
+        prev_end = e
+    return pred
+
+
 @dataclasses.dataclass
 class LongPipelineOutput:
     videos: np.ndarray  # [B, 3, T, H, W] in [0, 1]
@@ -183,6 +255,8 @@ def generate_long(
     shift: float = 5.0,
     output_type: str = "numpy",
     timer=None,  # optional utils.profiling.StepTimer for per-phase tracing
+    initial_latents=None,  # optional [1, 16, infer_length, lh, lw] noise
+    step_callback=None,  # optional fn(step_index, latents_all) for parity probes
 ) -> LongPipelineOutput:
     """Audio-driven unbounded-length generation (reference §3.2 call stack)."""
     import contextlib
@@ -201,10 +275,14 @@ def generate_long(
 
     lh = h_img // models.vae_cfg.spatial_compression_ratio
     lw = w_img // models.vae_cfg.spatial_compression_ratio
-    key = jax.random.PRNGKey(seed)
-    latents_all = jax.random.normal(
-        key, (1, models.vae_cfg.z_dim, infer_length, lh, lw), dtype=jnp.float32
-    ).astype(jnp.bfloat16)
+    if initial_latents is not None:
+        # parity harness path: identical noise injected into both stacks
+        latents_all = jnp.asarray(initial_latents, dtype=jnp.float32).astype(jnp.bfloat16)
+    else:
+        key = jax.random.PRNGKey(seed)
+        latents_all = jax.random.normal(
+            key, (1, models.vae_cfg.z_dim, infer_length, lh, lw), dtype=jnp.float32
+        ).astype(jnp.bfloat16)
 
     with phase("text_encode"):
         if text_ctx is None:
@@ -229,12 +307,51 @@ def generate_long(
     if teacache is not None:
         teacache.reset()
 
+    # single-dispatch sweep path (TeaCache off): all windows of one step in
+    # one jitted program
+    use_sweep = teacache is None
+    if use_sweep:
+        vocal_stacked = jnp.stack(vocal_embs)
+        windows_t = tuple(windows)
+        ramp_arg = ramp if ramp is not None else jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
+
     for i in range(sched.num_steps):
       with phase("denoise_step"):
         t = sched.timesteps[i]
         sigma, sigma_next = sched.sigmas[i], sched.sigmas[i + 1]
+        if use_sweep:
+            latents_all = _sweep_step(
+                models.dit_params,
+                latents_all,
+                y_full,
+                text_ctx,
+                clip_ctx,
+                vocal_stacked,
+                t,
+                sigma,
+                sigma_next,
+                ramp_arg,
+                models.dit_cfg,
+                windows_t,
+                int(overlap_window_length),
+                float(text_guide_scale),
+                float(audio_guide_scale),
+                models.rope_split,
+                models.attn_quant,
+                bool(i != 0 and ramp is not None),
+                int(models.vae_cfg.temporal_compression_ratio),
+            )
+            if step_callback is not None:
+                step_callback(i, latents_all)
+            continue
         pred_latents = jnp.zeros_like(latents_all)
         prev_end = None
+        # e0 depends only on t: compute once per step, not per window
+        e0_step = (
+            dit_time_e0(models.dit_params, models.dit_cfg, jnp.full((1,), t))
+            if teacache is not None
+            else None
+        )
         for wi, (s, e) in enumerate(windows):
             f = e - s
             # per-window frame count keeps the vocal projector's window count
@@ -245,9 +362,12 @@ def generate_long(
             y_win = y_full[:, :, :f]
             compute = True
             if teacache is not None:
-                e0 = dit_time_e0(models.dit_params, models.dit_cfg, jnp.full((1,), t))
-                compute = teacache.plan(e0) or teacache.residual is None \
-                    or teacache.residual.shape[1] != f * (lat_win.shape[-2] // 2) * (lat_win.shape[-1] // 2)
+                can_skip = (
+                    teacache.residual is not None
+                    and teacache.residual.shape[1]
+                    == f * (lat_win.shape[-2] // 2) * (lat_win.shape[-1] // 2)
+                )
+                compute = teacache.plan(e0_step, can_skip=can_skip)
             if compute:
                 new_lat, residual = _window_step(
                     models.dit_params,
@@ -263,6 +383,8 @@ def generate_long(
                     clip_len_w,
                     float(text_guide_scale),
                     float(audio_guide_scale),
+                    rope_split=models.rope_split,
+                    attn_quant=models.attn_quant,
                 )
                 if teacache is not None:
                     teacache.store(residual)
@@ -290,6 +412,8 @@ def generate_long(
             pred_latents = jax.lax.dynamic_update_slice_in_dim(pred_latents, new_lat, s, axis=2)
             prev_end = e
         latents_all = pred_latents
+        if step_callback is not None:
+            step_callback(i, latents_all)
 
     latents = latents_all.astype(jnp.float32)
     if output_type == "latent":

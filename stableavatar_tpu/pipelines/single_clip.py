@@ -30,7 +30,10 @@ from stableavatar_tpu.schedulers.flow_match import flow_match_timesteps
 
 @partial(
     jax.jit,
-    static_argnames=("dit_cfg", "clip_length", "text_scale", "audio_scale"),
+    static_argnames=(
+        "dit_cfg", "clip_length", "text_scale", "audio_scale", "rope_split",
+        "attn_quant",
+    ),
     donate_argnums=(1,),
 )
 def _clip_step(
@@ -47,12 +50,15 @@ def _clip_step(
     clip_length: int,
     text_scale: float,
     audio_scale: float,
+    rope_split: bool = False,
+    attn_quant: str = "none",
 ):
     lat3 = jnp.concatenate([latents] * 3, axis=0).astype(jnp.bfloat16)
     tb = jnp.full((3,), t, dtype=jnp.float32)
     noise_pred = dit_forward(
         params, dit_cfg, lat3, tb, text_ctx, clip_ctx, y, vocal_emb,
         video_sample_n_frames=clip_length, vocal_cfg_tile=True,
+        rope_split=rope_split, attn_quant=attn_quant,
     )
     noise_pred = guidance_combine_single(noise_pred, text_scale, audio_scale)
     new_lat = latents.astype(jnp.float32) + (sigma_next - sigma) * noise_pred
@@ -61,11 +67,15 @@ def _clip_step(
 
 @partial(
     jax.jit,
-    static_argnames=("dit_cfg", "clip_length", "text_scale", "audio_scale"),
+    static_argnames=(
+        "dit_cfg", "clip_length", "text_scale", "audio_scale", "rope_split",
+        "attn_quant",
+    ),
 )
 def _clip_velocity(
     params, latents, y, text_ctx, clip_ctx, vocal_emb, t, dit_cfg,
     clip_length: int, text_scale: float, audio_scale: float,
+    rope_split: bool = False, attn_quant: str = "none",
 ):
     """CFG-combined velocity only (for the multistep solvers)."""
     lat3 = jnp.concatenate([latents] * 3, axis=0).astype(jnp.bfloat16)
@@ -73,6 +83,7 @@ def _clip_velocity(
     noise_pred = dit_forward(
         params, dit_cfg, lat3, tb, text_ctx, clip_ctx, y, vocal_emb,
         video_sample_n_frames=clip_length, vocal_cfg_tile=True,
+        rope_split=rope_split, attn_quant=attn_quant,
     )
     return guidance_combine_single(noise_pred, text_scale, audio_scale)
 
@@ -140,6 +151,8 @@ def generate_single_clip(
                 clip_length,
                 float(prompt_cfg_scale),
                 float(audio_cfg_scale),
+                rope_split=models.rope_split,
+                attn_quant=models.attn_quant,
             )
     else:
         # multistep solvers (FlowDPM++ / FlowUniPC — reference fm_solvers)
@@ -157,6 +170,7 @@ def generate_single_clip(
                 models.dit_params, latents, y, text_ctx, clip_ctx, vocal_emb,
                 solver.timesteps[i], models.dit_cfg, clip_length,
                 float(prompt_cfg_scale), float(audio_cfg_scale),
+                rope_split=models.rope_split, attn_quant=models.attn_quant,
             )
             lat_f, state = solver.step(v, i, latents, state)
             latents = lat_f.astype(jnp.bfloat16)

@@ -39,19 +39,33 @@ def _to_x0(sample, v, sigma):
     return sample - sigma * v
 
 
+def _make_sched(num_steps: int, shift: float, sigmas=None) -> FlowMatchEulerSchedule:
+    """Build the schedule; `sigmas` (S+1 values incl. terminal) overrides the
+    default shifted ladder — used by the parity tests to drive our solvers on
+    the reference's exact ladder."""
+    if sigmas is None:
+        return flow_match_timesteps(num_steps, shift=shift)
+    sig = jnp.asarray(sigmas, jnp.float32)
+    return FlowMatchEulerSchedule(sigmas=sig, timesteps=sig[:-1] * 1000.0)
+
+
 @dataclasses.dataclass
 class MultistepState:
-    """Carry for multistep solvers: ring buffer of previous x0 predictions."""
+    """Carry for multistep solvers: ring buffer of previous x0 predictions,
+    plus (UniPC) the sample the last predictor started from and its order."""
 
     x0_prev: Optional[jnp.ndarray] = None  # x0 at step i-1
-    x0_prev2: Optional[jnp.ndarray] = None  # x0 at step i-2 (UniPC order 3)
+    x0_prev2: Optional[jnp.ndarray] = None  # x0 at step i-2
+    last_sample: Optional[jnp.ndarray] = None  # UniPC corrector input
+    prev_order: int = 1  # order used by the last predictor
 
 
 class FlowDPMSolverMultistep:
     """DPM-Solver++(2M) on the flow-matching sigma ladder."""
 
-    def __init__(self, num_steps: int, shift: float = 5.0, order: int = 2):
-        self.sched: FlowMatchEulerSchedule = flow_match_timesteps(num_steps, shift=shift)
+    def __init__(self, num_steps: int, shift: float = 5.0, order: int = 2,
+                 sigmas=None):
+        self.sched: FlowMatchEulerSchedule = _make_sched(num_steps, shift, sigmas)
         self.order = order
 
     @property
@@ -97,13 +111,19 @@ class FlowDPMSolverMultistep:
 
 
 class FlowUniPCMultistep:
-    """UniPC (predictor, B(h)=h variant) on the flow-matching sigma ladder.
+    """UniPC-2 (unified predictor + corrector, B(h)=e^hh-1 "bh2" variant,
+    x0-prediction) on the flow-matching sigma ladder.
 
-    Implements the order<=2 unified predictor; the corrector is folded into
-    the next step's multistep combination (UniPC-p behavior)."""
+    Step-for-step match of the reference vendored FlowUniPCMultistepScheduler
+    (`wan/utils/fm_solvers_unipc.py:655-740`, corrector `:487-630`), verified
+    in tests/test_solver_parity.py: each `step(v_i, i, x_i)` first CORRECTS
+    the previous prediction x_i using the fresh model evaluation (UniC with
+    the order the last predictor used), then runs the UniP predictor from
+    the corrected sample reusing the same x0."""
 
-    def __init__(self, num_steps: int, shift: float = 5.0, order: int = 2):
-        self.sched = flow_match_timesteps(num_steps, shift=shift)
+    def __init__(self, num_steps: int, shift: float = 5.0, order: int = 2,
+                 sigmas=None):
+        self.sched = _make_sched(num_steps, shift, sigmas)
         self.order = order
 
     @property
@@ -115,9 +135,44 @@ class FlowUniPCMultistep:
         return self.sched.sigmas
 
     def _lam(self, sigma):
-        a = jnp.maximum(1.0 - sigma, 1e-6)
-        s = jnp.maximum(sigma, 1e-6)
+        a = jnp.maximum(1.0 - sigma, 1e-10)
+        s = jnp.maximum(sigma, 1e-10)
         return jnp.log(a) - jnp.log(s)
+
+    def _uni_c(self, model_t, state: MultistepState, i: int) -> jnp.ndarray:
+        """UniC-p correction of the last predictor's output
+        (`fm_solvers_unipc.py:487-630`), p = the last predictor's order."""
+        order = state.prev_order
+        s_t = self.sched.sigmas[i]
+        s_s0 = self.sched.sigmas[i - 1]
+        a_t = 1.0 - s_t
+        lam_t, lam_s0 = self._lam(s_t), self._lam(s_s0)
+        h = lam_t - lam_s0
+        hh = -h  # predict_x0 convention
+        h_phi_1 = jnp.expm1(hh)
+        b_h = jnp.expm1(hh)  # bh2
+
+        m0 = state.x0_prev
+        x = state.last_sample
+        x_t_ = (s_t / s_s0) * x - a_t * h_phi_1 * m0
+        d1_t = model_t - m0
+
+        if order == 1 or state.x0_prev2 is None:
+            rho_last = 0.5
+            corr_res = 0.0
+        else:
+            s_s1 = self.sched.sigmas[i - 2]
+            r1 = (self._lam(s_s1) - lam_s0) / h
+            d1s = (state.x0_prev2 - m0) / r1
+            # solve [[1, 1], [r1, 1]] rho = [b1, b2] (reference loop `:575-586`)
+            h_phi_k = h_phi_1 / hh - 1.0
+            b1 = h_phi_k * 1.0 / b_h
+            h_phi_k = h_phi_k / hh - 1.0 / 2.0
+            b2 = h_phi_k * 2.0 / b_h
+            rho1 = (b1 - b2) / (1.0 - r1)
+            rho_last = b1 - rho1
+            corr_res = rho1 * d1s
+        return x_t_ - a_t * b_h * (corr_res + rho_last * d1_t)
 
     def step(
         self, v: jnp.ndarray, i: int, sample: jnp.ndarray, state: MultistepState
@@ -126,24 +181,38 @@ class FlowUniPCMultistep:
         v = v.astype(jnp.float32)
         s_i = self.sched.sigmas[i]
         s_n = self.sched.sigmas[i + 1]
+        # x0 from the INCOMING (uncorrected) sample — this is what enters the
+        # history ring (`fm_solvers_unipc.py:695-710`)
         x0 = _to_x0(sample, v, s_i)
 
+        if i > 0 and state.last_sample is not None:
+            sample = self._uni_c(x0, state, i)
+
+        # order schedule: warmup + lower_order_final (`:712-721`)
+        this_order = min(self.order, self.sched.num_steps - i, 1 if i == 0 else 2)
+
         if i == self.sched.num_steps - 1:
-            return x0, MultistepState(x0, state.x0_prev)
+            # sigma_next == 0: the order-1 update collapses to x0 exactly
+            # but the corrector above still applied
+            x_t = x0
+        else:
+            lam_i, lam_n = self._lam(s_i), self._lam(s_n)
+            h = lam_n - lam_i
+            a_n = 1.0 - s_n
+            hh = -h
+            h_phi_1 = jnp.expm1(hh)
+            b_h = jnp.expm1(hh)  # bh2
 
-        lam_i, lam_n = self._lam(s_i), self._lam(s_n)
-        h = lam_n - lam_i
-        a_n = 1.0 - s_n
-        hh = -h  # data-prediction convention
-        h_phi_1 = jnp.expm1(hh)
-        b_h = jnp.expm1(hh)  # bh2 solver variant (reference default)
+            x_t = (s_n / s_i) * sample - a_n * h_phi_1 * x0
+            if this_order >= 2 and state.x0_prev is not None:
+                s_p = self.sched.sigmas[i - 1]
+                rk = (self._lam(s_p) - lam_i) / h
+                d1 = (state.x0_prev - x0) / rk
+                x_t = x_t - a_n * b_h * 0.5 * d1  # simplified rho_p = 1/2
 
-        x_t = (s_n / s_i) * sample - a_n * h_phi_1 * x0
-
-        if state.x0_prev is not None and self.order >= 2 and i > 0:
-            s_p = self.sched.sigmas[i - 1]
-            rk = (self._lam(s_p) - lam_i) / h
-            d1 = (state.x0_prev - x0) / rk
-            x_t = x_t - a_n * b_h * 0.5 * d1  # order-2 rho = 1/2
-
-        return x_t, MultistepState(x0, state.x0_prev)
+        return x_t, MultistepState(
+            x0_prev=x0,
+            x0_prev2=state.x0_prev,
+            last_sample=sample,
+            prev_order=this_order,
+        )

@@ -25,8 +25,23 @@ from stableavatar_tpu.train.trainer import TrainConfig, make_optimizer, make_tra
 
 
 def encode_batch(models: WanModels, batch: dict, rng: np.random.Generator,
-                 audio_dropout_prob: float = 0.1) -> dict:
-    """Raw pixel/audio batch -> DiT training inputs (device arrays)."""
+                 audio_dropout_prob: float = 0.1,
+                 clip_level_prob: float = 0.3,
+                 t2v_zero_prob: float = 0.90,
+                 train_mode: str = "inpaint") -> dict:
+    """Raw pixel/audio batch -> DiT training inputs (device arrays).
+
+    Conditioning dropouts at the reference call sites:
+    - `t2v_flag` (`train_1B_square.py:1093-1100,1145`): samples whose pixel
+      mask is ALL ones (nothing to inpaint) get their inpaint latents zeroed
+      with probability `t2v_zero_prob` (text/audio-to-video mode), unless
+      train_mode == "normal";
+    - audio dropout (`:1193-1194`): the whole wav2vec embedding zeroed with
+      probability `audio_dropout_prob`;
+    - clip-level flag (`:1195-1197`): with probability `clip_level_prob` the
+      vocal context attends globally (`is_clip_level_modeling`, returned for
+      the train step to pass to `dit_forward`).
+    """
     from stableavatar_tpu.models.clip import clip_visual_forward, preprocess_reference_image
     from stableavatar_tpu.models.vae import encode_video
     from stableavatar_tpu.models.wav2vec import normalize_waveform, wav2vec2_forward
@@ -42,12 +57,24 @@ def encode_batch(models: WanModels, batch: dict, rng: np.random.Generator,
 
     # mask -> latent packing (train_1B_square.py:1129-1138): first frame
     # repeated 4x then grouped into 4-channel latent-frame masks
-    m = jnp.asarray(batch["pixel_value_masks"])[:, :, 0]  # [B, F, H, W]
+    raw_masks = np.asarray(batch["pixel_value_masks"])
+    m = jnp.asarray(raw_masks)[:, :, 0]  # [B, F, H, W]
     lh, lw = latents.shape[-2:]
     m = jax.image.resize(m, (b, m.shape[1], lh, lw), method="nearest")
     m = jnp.concatenate([jnp.repeat(m[:, 0:1], 4, axis=1), m[:, 1:]], axis=1)
     m = m.reshape(b, m.shape[1] // 4, 4, lh, lw).transpose(0, 2, 1, 3, 4)
     inpaint_latents = jnp.concatenate([m.astype(latents.dtype), masked_latents], axis=1)
+
+    if train_mode != "normal":
+        # t2v_flag: all-ones masks drop the inpaint conditioning 90% of the
+        # time (train_1B_square.py:1093-1100); applied at :1145
+        all_ones = raw_masks.reshape(b, -1).min(axis=1) >= 1.0
+        t2v_flag = np.where(
+            all_ones & (rng.random(b) < t2v_zero_prob), 0.0, 1.0
+        ).astype(np.float32)
+        inpaint_latents = inpaint_latents * jnp.asarray(t2v_flag)[
+            :, None, None, None, None
+        ].astype(inpaint_latents.dtype)
 
     ref = jnp.asarray(batch["reference_image"])[:, :, 0]  # [B, 3, H, W]
     clip_fea = clip_visual_forward(
@@ -59,6 +86,9 @@ def encode_batch(models: WanModels, batch: dict, rng: np.random.Generator,
     if models.wav2vec_cfg.do_normalize:
         wav = normalize_waveform(wav)
     vocal = wav2vec2_forward(models.wav2vec_params, models.wav2vec_cfg, wav)
+    if rng.random() < audio_dropout_prob:  # train_1B_square.py:1193-1194
+        vocal = jnp.zeros_like(vocal)
+    is_clip_level = bool(rng.random() < clip_level_prob)  # :1195-1197
 
     if models.tokenizer is not None:
         ids, mask = zip(*(models.tokenizer(p) for p in batch["text_prompt"]))
@@ -83,6 +113,8 @@ def encode_batch(models: WanModels, batch: dict, rng: np.random.Generator,
         "vocal_embeddings": vocal,
         "face_masks": latent_masks("tgt_face_masks"),
         "lip_masks": latent_masks("tgt_lip_masks"),
+        # host-side flag (static under jit; two cached compilations)
+        "is_clip_level_modeling": is_clip_level,
     }
 
 
@@ -197,8 +229,11 @@ def train(
         if step >= max_train_steps:
             break
         enc = encode_batch(models, batch, rng)
+        is_clip_level = enc.pop("is_clip_level_modeling", False)
         key, sub = jax.random.split(key)
-        params, opt_state, metrics = step_fn(params, opt_state, enc, sub, jnp.asarray(step))
+        params, opt_state, metrics = step_fn(
+            params, opt_state, enc, sub, jnp.asarray(step), is_clip_level
+        )
         step += 1
         if step % log_every == 0:
             loss = float(metrics["loss"])

@@ -53,6 +53,7 @@ class TrainConfig:
     remat: bool = True
     video_sample_n_frames: int = 81
     use_8bit_adam: bool = False
+    use_came: bool = False
 
 
 def train_sigmas(num_train_timesteps: int = 1000, shift: float = 5.0) -> jnp.ndarray:
@@ -67,24 +68,31 @@ def train_sigmas(num_train_timesteps: int = 1000, shift: float = 5.0) -> jnp.nda
 def trainable_mask(params, train_all: bool = False):
     """Pytree mask of trainable leaves.
 
-    The reference unfreezes params whose name contains 'vocal'/'audio'/
-    attention/blocks (`train_1B_square.py:932-935`) — effectively the whole
-    DiT + vocal projector; embeddings/head included via 'blocks' traversal.
-    We default to everything trainable (train_all semantics) and expose the
-    audio-only mask for adapter-style runs."""
+    Default (train_all=False) reproduces the reference unfreeze rule
+    exactly: params whose name contains 'vocal'/'audio'/'attn'/'blocks'
+    (`train_1B_square.py:932-935`).  In this tree that is the whole block
+    stack plus the vocal projector; patch_embedding / text / time
+    embeddings / head stay FROZEN, as in the reference.  `train_all=True`
+    unfreezes everything (for from-scratch runs)."""
     if train_all:
         return jax.tree.map(lambda _: True, params)
 
     def mark(path, _):
         names = [getattr(k, "key", str(k)) for k in path]
         joined = "/".join(str(n) for n in names)
-        return any(s in joined for s in ("vocal", "blocks", "head", "patch_embedding"))
+        return any(s in joined for s in ("vocal", "audio", "attn", "blocks"))
 
     return jax.tree_util.tree_map_with_path(mark, params)
 
 
 def make_optimizer(cfg: TrainConfig, mask=None) -> optax.GradientTransformation:
-    if cfg.use_8bit_adam:
+    if cfg.use_came:
+        # reference --use_came hyperparams (train_1B_square.py:944-949)
+        from stableavatar_tpu.train.came import came
+
+        tx = came(cfg.learning_rate, betas=(0.9, 0.999, 0.9999),
+                  eps=(1e-30, 1e-16))
+    elif cfg.use_8bit_adam:
         from stableavatar_tpu.train.adam8bit import adamw8bit
 
         tx = adamw8bit(
@@ -110,6 +118,7 @@ def train_step(
     batch: dict,
     key: jax.Array,
     step,
+    is_clip_level_modeling: bool = False,
     *,
     dit_cfg: DiTConfig,
     train_cfg: TrainConfig,
@@ -151,6 +160,7 @@ def train_step(
             batch["inpaint_latents"],
             batch["vocal_embeddings"],
             video_sample_n_frames=train_cfg.video_sample_n_frames,
+            is_clip_level_modeling=is_clip_level_modeling,
             remat=train_cfg.remat,
         )
         w = loss_weighting(train_cfg.weighting_scheme, sigma)
@@ -185,7 +195,11 @@ def train_step(
 
 
 def make_train_step(dit_cfg: DiTConfig, train_cfg: TrainConfig, tx, sigmas_table):
-    """Jitted train step with donated params/opt_state."""
+    """Jitted train step with donated params/opt_state.
+
+    `is_clip_level_modeling` (the reference's 30% global-vocal-attention
+    flag, `train_1B_square.py:1195-1197`) is static — the two variants each
+    compile once and are cached."""
     return jax.jit(
         partial(
             train_step,
@@ -195,4 +209,5 @@ def make_train_step(dit_cfg: DiTConfig, train_cfg: TrainConfig, tx, sigmas_table
             sigmas_table=sigmas_table,
         ),
         donate_argnums=(0, 1),
+        static_argnums=(5,),
     )

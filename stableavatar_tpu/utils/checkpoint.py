@@ -489,3 +489,133 @@ def merge_pt_override(params, sd: StateDict, cfg) -> dict:
     if skipped:
         print(f"merge_pt_override: skipped {len(skipped)} size-mismatched tensors")
     return merged
+
+
+# ---------------------------------------------------------------------------
+# JAX -> torch export (the inverse direction)
+# ---------------------------------------------------------------------------
+#
+# The reference training loop writes a raw `transformer3d-*.pt` state dict
+# next to every checkpoint (`train_1B_square.py:1331-1362`) so models can be
+# handed to the rest of the ecosystem.  `export_dit_to_torch_state_dict` is
+# the exact inverse of `convert_dit` (roundtrip bit-exact in fp32,
+# tests/test_export.py); `save_torch_dit` writes the .pt (torch) or
+# .safetensors file.
+
+
+def _ex_lin(sd, name, p):
+    sd[f"{name}.weight"] = np.asarray(p["w"], np.float32).T.copy()
+    if "b" in p:
+        sd[f"{name}.bias"] = np.asarray(p["b"], np.float32)
+
+
+def _ex_ln(sd, name, p):
+    sd[f"{name}.weight"] = np.asarray(p["w"], np.float32)
+    sd[f"{name}.bias"] = np.asarray(p["b"], np.float32)
+
+
+def _ex_rms(sd, name, p):
+    sd[f"{name}.weight"] = np.asarray(p["w"], np.float32)
+
+
+def export_vocal_projector(params, cfg, prefix: str = "") -> Dict[str, np.ndarray]:
+    sd: Dict[str, np.ndarray] = {}
+    pp = params["proj"]
+    if "fc" in pp:
+        _ex_lin(sd, f"{prefix}proj_model.proj", pp["fc"])
+        _ex_ln(sd, f"{prefix}proj_model.norm", pp["norm"])
+    else:
+        _ex_lin(sd, f"{prefix}proj_model.proj_1", pp["fc1"])
+        _ex_ln(sd, f"{prefix}proj_model.norm_1", pp["norm1"])
+        _ex_lin(sd, f"{prefix}proj_model.proj_2", pp["fc2"])
+        _ex_ln(sd, f"{prefix}proj_model.norm_2", pp["norm"])
+    for i, bp in enumerate(params["blocks"]):
+        b = f"{prefix}blocks.{i}"
+        _ex_ln(sd, f"{b}.norm3", bp["norm3"])
+        ca = bp["cross_attn"]
+        for n in ("q", "k", "v", "o"):
+            _ex_lin(sd, f"{b}.cross_attn.{n}", ca[n])
+        _ex_rms(sd, f"{b}.cross_attn.norm_q", ca["norm_q"])
+        _ex_rms(sd, f"{b}.cross_attn.norm_k", ca["norm_k"])
+        _ex_lin(sd, f"{b}.ffn.0", bp["ffn"]["fc1"])
+        _ex_lin(sd, f"{b}.ffn.2", bp["ffn"]["fc2"])
+        sd[f"{b}.modulation"] = np.asarray(bp["modulation"], np.float32)
+    _ex_lin(sd, f"{prefix}final_head.final_proj", params["final_head"]["final_proj"])
+    sd[f"{prefix}final_head.modulation"] = np.asarray(
+        params["final_head"]["modulation"], np.float32
+    )
+    return sd
+
+
+def export_dit_to_torch_state_dict(params, cfg) -> Dict[str, np.ndarray]:
+    """init_dit pytree -> Wan torch key layout (inverse of `convert_dit`).
+
+    Stacked scan blocks are unstacked to `blocks.{i}.*`; the patch embedding
+    matmul weight is reshaped back to Conv3d [O, I, kt, kh, kw].  Quantized
+    (w8/storage-int8) leaves must be dequantized by the caller first — this
+    exports the canonical bf16/f32 tree."""
+    import jax
+
+    sd: Dict[str, np.ndarray] = {}
+
+    pt, ph, pw = cfg.patch_size
+    pe = np.asarray(params["patch_embedding"]["w"], np.float32)  # [I*k, O]
+    o = pe.shape[1]
+    sd["patch_embedding.weight"] = (
+        pe.T.reshape(o, cfg.in_dim, pt, ph, pw).copy()
+    )
+    sd["patch_embedding.bias"] = np.asarray(params["patch_embedding"]["b"], np.float32)
+
+    _ex_lin(sd, "text_embedding.0", params["text_embedding"]["fc1"])
+    _ex_lin(sd, "text_embedding.2", params["text_embedding"]["fc2"])
+    _ex_lin(sd, "time_embedding.0", params["time_embedding"]["fc1"])
+    _ex_lin(sd, "time_embedding.2", params["time_embedding"]["fc2"])
+    _ex_lin(sd, "time_projection.1", params["time_projection"]["fc"])
+    _ex_ln(sd, "img_emb.proj.0", params["img_emb"]["norm1"])
+    _ex_lin(sd, "img_emb.proj.1", params["img_emb"]["fc1"])
+    _ex_lin(sd, "img_emb.proj.3", params["img_emb"]["fc2"])
+    _ex_ln(sd, "img_emb.proj.4", params["img_emb"]["norm2"])
+
+    blocks = params["blocks"]
+    for i in range(cfg.num_layers):
+        bp = jax.tree.map(lambda a: a[i], blocks)
+        b = f"blocks.{i}"
+        sa = bp["self_attn"]
+        for n in ("q", "k", "v", "o"):
+            _ex_lin(sd, f"{b}.self_attn.{n}", sa[n])
+        _ex_rms(sd, f"{b}.self_attn.norm_q", sa["norm_q"])
+        _ex_rms(sd, f"{b}.self_attn.norm_k", sa["norm_k"])
+        _ex_ln(sd, f"{b}.norm3", bp["norm3"])
+        ca = bp["cross_attn"]
+        for n in ("q", "k", "v", "o", "k_img", "v_img", "k_vocal", "v_vocal"):
+            _ex_lin(sd, f"{b}.cross_attn.{n}", ca[n])
+        _ex_rms(sd, f"{b}.cross_attn.norm_q", ca["norm_q"])
+        _ex_rms(sd, f"{b}.cross_attn.norm_k", ca["norm_k"])
+        _ex_rms(sd, f"{b}.cross_attn.norm_k_img", ca["norm_k_img"])
+        _ex_lin(sd, f"{b}.ffn.0", bp["ffn"]["fc1"])
+        _ex_lin(sd, f"{b}.ffn.2", bp["ffn"]["fc2"])
+        sd[f"{b}.modulation"] = np.asarray(bp["modulation"], np.float32)
+
+    _ex_lin(sd, "head.head", params["head"]["head"])
+    sd["head.modulation"] = np.asarray(params["head"]["modulation"], np.float32)
+
+    sd.update(
+        export_vocal_projector(
+            params["vocal_projector"], cfg, prefix="vocal_projector."
+        )
+    )
+    return sd
+
+
+def save_torch_dit(path: str, params, cfg):
+    """Write the exported state dict as .pt (torch.save) or .safetensors."""
+    sd = export_dit_to_torch_state_dict(params, cfg)
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import save_file
+
+        save_file(sd, path)
+        return path
+    import torch
+
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, path)
+    return path

@@ -258,3 +258,70 @@ def test_generate_long_short_audio(tiny_models):
     )
     assert out.latents.shape[2] == 2
     assert np.isfinite(np.asarray(out.latents)).all()
+
+
+def test_sweep_step_matches_per_window_path(tiny_models):
+    """The single-dispatch jitted sweep (TeaCache off) must produce exactly
+    the same latents as the per-window host loop (TeaCache on but never
+    skipping, rel_l1_thresh=inf forces compute every call)."""
+    from stableavatar_tpu.models.teacache import TeaCache
+    from stableavatar_tpu.pipelines.long import generate_long
+
+    rng = np.random.default_rng(3)
+    ref = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    wav = rng.standard_normal(640 * 21).astype(np.float32) * 0.1
+
+    kwargs = dict(
+        ref_image=ref, vocal_waveform=wav, prompt="speech",
+        num_inference_steps=3, clip_length=9, overlap_window_length=1,
+        seed=11, output_type="latent",
+    )
+    tiny_models.teacache = None
+    sweep = generate_long(tiny_models, **kwargs)
+
+    # per-window path: TeaCache active, threshold so high it never skips
+    tiny_models.teacache = TeaCache([0.0, 0.0, 0.0, 0.0, 1e9], 3,
+                                    rel_l1_thresh=0.0, num_skip_start_steps=99)
+    per_window = generate_long(tiny_models, **kwargs)
+    tiny_models.teacache = None
+
+    np.testing.assert_array_equal(
+        np.asarray(sweep.latents), np.asarray(per_window.latents)
+    )
+
+
+def test_final_window_seam_quality(tiny_models):
+    """The shifted final window overwrites its overlap region unblended
+    (plan_windows docstring; the reference crashes on ragged final windows
+    instead).  Quantify the seam: the temporal latent delta at the final
+    window's start junction must be comparable to interior deltas, not an
+    outlier discontinuity."""
+    from stableavatar_tpu.pipelines.long import generate_long, plan_windows
+
+    rng = np.random.default_rng(9)
+    ref = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    # 26 video frames -> infer_length 7; fpb=3, overlap=1 -> windows
+    # (0,3),(2,5),(4,7): last window NOT shifted. Use 24 frames -> infer 6:
+    # windows (0,3),(2,5),(3,6) -> final window shifted back by 1.
+    wav = rng.standard_normal(23 * 640).astype(np.float32) * 0.1
+
+    tiny_models.teacache = None
+    out = generate_long(
+        tiny_models, ref_image=ref, vocal_waveform=wav, prompt="speech",
+        num_inference_steps=4, clip_length=9, overlap_window_length=1,
+        seed=5, output_type="latent",
+    )
+    lat = np.asarray(out.latents, np.float32)[0]  # [16, F, h, w]
+    infer_length = lat.shape[1]
+    fpb = 3
+    windows = plan_windows(infer_length, fpb, 1)
+    assert windows[-1][0] != windows[-2][0] + (fpb - 1), "fixture should shift"
+
+    deltas = np.linalg.norm(
+        (lat[:, 1:] - lat[:, :-1]).reshape(16, infer_length - 1, -1), axis=(0, 2)
+    )
+    junction = windows[-1][0]  # first frame of the shifted final window
+    seam = deltas[junction - 1]
+    interior = np.delete(deltas, junction - 1)
+    # the seam must not be a catastrophic outlier vs interior transitions
+    assert seam < 2.5 * interior.max(), (seam, interior)

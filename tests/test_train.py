@@ -193,3 +193,50 @@ def test_adam8bit_state_is_int8():
     state = tx.init(params)
     assert state[0].nu["w"].q.dtype == jnp.int8
     assert state[0].mu["w"].dtype == jnp.bfloat16
+
+
+def test_came_optimizer_converges_and_shapes():
+    """CAME (train/came.py): factored state shapes, convergence on a simple
+    least-squares problem, and reference hyperparams via make_optimizer."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from stableavatar_tpu.train.came import came
+    from stableavatar_tpu.train.trainer import TrainConfig, make_optimizer
+
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.standard_normal((16, 8)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((16, 4)).astype(np.float32))
+    params = {"w": jnp.zeros((8, 4)), "bias": jnp.zeros((4,))}
+
+    def loss_fn(p):
+        return jnp.mean((A @ p["w"] + p["bias"] - b) ** 2)
+
+    tx = came(2e-2)
+    state = tx.init(params)
+    # factored leaf for the 2D weight, unfactored for the 1D bias
+    assert state.leaves["w"].row.shape == (8,)
+    assert state.leaves["w"].col.shape == (4,)
+    assert state.leaves["bias"].row.shape == (4,)
+
+    # the system is overdetermined: compare against the true least-squares
+    # optimum, not zero
+    A1 = np.concatenate([np.asarray(A), np.ones((16, 1), np.float32)], axis=1)
+    wb, res, *_ = np.linalg.lstsq(A1, np.asarray(b), rcond=None)
+    opt_loss = float(np.mean((A1 @ wb - np.asarray(b)) ** 2))
+
+    l0 = float(loss_fn(params))
+    for _ in range(300):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    final = float(loss_fn(params))
+    assert final < opt_loss + 0.25 * (l0 - opt_loss), (final, opt_loss, l0)
+
+    # reference --use_came config path builds without error
+    tx2 = make_optimizer(TrainConfig(use_came=True))
+    st2 = tx2.init(params)
+    up, _ = tx2.update(grads, st2, params)
+    assert all(np.isfinite(np.asarray(u)).all() for u in jax.tree.leaves(up))

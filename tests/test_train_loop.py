@@ -110,3 +110,89 @@ def test_checkpoint_manager_rotation_and_resume(tmp_path):
     restored = cm.restore({"params": params, "opt_state": opt, "step": jnp.asarray(0)})
     assert int(restored["step"]) == 30
     np.testing.assert_allclose(np.asarray(restored["params"]["w"]), np.arange(4.0) + 30)
+
+
+def test_conditioning_dropouts_fire_with_reference_probabilities():
+    """encode_batch applies the three reference conditioning dropouts at the
+    right rates (train_1B_square.py:1093-1100 t2v_flag, :1193-1194 audio,
+    :1195-1197 clip-level flag).  Heavy encoders are stubbed; this tests the
+    dropout logic only."""
+    from unittest import mock
+
+    from stableavatar_tpu.pipelines.common import WanModels
+    from stableavatar_tpu.config import DiTConfig
+    from stableavatar_tpu.train.loop import encode_batch
+
+    b, f, hw = 2, 5, 8
+    batch = {
+        "pixel_values": np.zeros((b, 3, f, hw, hw), np.float32),
+        "masked_pixel_values": np.zeros((b, 3, f, hw, hw), np.float32),
+        # row 0: all-ones mask (t2v candidate); row 1: partial mask
+        # layout [B, F, C, H, W] (dataset get_random_mask convention)
+        "pixel_value_masks": np.stack(
+            [np.ones((f, 1, hw, hw), np.float32),
+             np.zeros((f, 1, hw, hw), np.float32)]
+        ),
+        "reference_image": np.zeros((b, 3, 1, hw, hw), np.float32),
+        "vocal_input_values": np.ones((b, 320), np.float32),
+        "prompt_embeds": np.zeros((b, 16, 32), np.float32),
+        "tgt_face_masks": np.ones((b, 1, f, hw, hw), np.float32),
+        "tgt_lip_masks": np.ones((b, 1, f, hw, hw), np.float32),
+    }
+
+    class _W2VCfg:
+        do_normalize = False
+
+    models = WanModels(
+        dit_params=None, dit_cfg=DiTConfig(dim=32, ffn_dim=64, num_heads=2,
+                                           num_layers=1),
+        vae_params=None, wav2vec_cfg=_W2VCfg(),
+    )
+
+    fake_lat = jnp.zeros((b, 16, (f - 1) // 4 + 1, hw // 8, hw // 8))
+
+    def fake_encode_video(p, x, cfg):
+        return fake_lat
+
+    def fake_clip(p, cfg, x):
+        return jnp.zeros((b, 257, 16))
+
+    def fake_w2v(p, cfg, w):
+        return jnp.ones((b, 10, 8))
+
+    rng = np.random.default_rng(0)
+    n = 400
+    t2v_zeroed = audio_dropped = clip_level = 0
+    with mock.patch("stableavatar_tpu.models.vae.encode_video", fake_encode_video), \
+         mock.patch("stableavatar_tpu.models.clip.clip_visual_forward", fake_clip), \
+         mock.patch("stableavatar_tpu.models.clip.preprocess_reference_image",
+                    lambda x, cfg: x), \
+         mock.patch("stableavatar_tpu.models.wav2vec.wav2vec2_forward", fake_w2v):
+        for _ in range(n):
+            enc = encode_batch(models, batch, rng)
+            inp = np.asarray(enc["inpaint_latents"])
+            # row 0 (all-ones mask) may be zeroed; row 1 never is.  The
+            # mask channels of row 1 are all zeros here, so check row 0's
+            # mask channel directly
+            if inp[0, 0].max() == 0.0:
+                t2v_zeroed += 1
+            assert inp[1, :4].max() == 0.0  # row 1 mask is zeros by input
+            if np.asarray(enc["vocal_embeddings"]).max() == 0.0:
+                audio_dropped += 1
+            if enc["is_clip_level_modeling"]:
+                clip_level += 1
+
+    # binomial 3-sigma bounds
+    assert 0.9 * n - 3 * np.sqrt(n * 0.09) < t2v_zeroed < 0.9 * n + 3 * np.sqrt(n * 0.09)
+    assert 0.1 * n - 3 * np.sqrt(n * 0.09) < audio_dropped < 0.1 * n + 3 * np.sqrt(n * 0.09)
+    assert 0.3 * n - 3 * np.sqrt(n * 0.21) < clip_level < 0.3 * n + 3 * np.sqrt(n * 0.21)
+
+    # train_mode="normal" disables t2v zeroing entirely
+    with mock.patch("stableavatar_tpu.models.vae.encode_video", fake_encode_video), \
+         mock.patch("stableavatar_tpu.models.clip.clip_visual_forward", fake_clip), \
+         mock.patch("stableavatar_tpu.models.clip.preprocess_reference_image",
+                    lambda x, cfg: x), \
+         mock.patch("stableavatar_tpu.models.wav2vec.wav2vec2_forward", fake_w2v):
+        for _ in range(50):
+            enc = encode_batch(models, batch, rng, train_mode="normal")
+            assert np.asarray(enc["inpaint_latents"])[0, 0].max() == 1.0
