@@ -292,6 +292,15 @@ def main(argv=None):
     if sp > 1 or fsdp > 1:
         mesh = make_mesh(dp=1, fsdp=fsdp, sp=sp)
 
+    # validate inputs BEFORE the multi-minute model load
+    for path, what in [
+        (args.validation_reference_path, "reference image"),
+        (args.validation_driven_audio_path, "driving audio"),
+    ]:
+        if not path or not os.path.exists(path):
+            print(f"error: {what} not found: {path!r}", file=sys.stderr)
+            return 2
+
     import time as _time
 
     _t0 = _time.time()
@@ -339,7 +348,7 @@ def main(argv=None):
     print(f"[stableavatar-tpu] generation done ({_time.time()-_t0:.0f}s)", flush=True)
     os.makedirs(args.output_dir, exist_ok=True)
     out_path = os.path.join(args.output_dir, f"video_seed{args.seed}.mp4")
-    save_videos_grid(out.videos, out_path, fps=args.fps)
+    out_path = save_videos_grid(out.videos, out_path, fps=args.fps) or out_path
     # mux the driving audio when ffmpeg is available (reference
     # save_video_ffmpeg crops + muxes, inference.py:53-89)
     from stableavatar_tpu.utils.media import ffmpeg_available, mux_audio

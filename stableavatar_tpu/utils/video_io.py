@@ -23,15 +23,19 @@ def to_uint8(video: np.ndarray) -> np.ndarray:
     return v.reshape(t, h, b * w, c)
 
 
-def save_videos_grid(video: np.ndarray, path: str, fps: int = 25) -> None:
-    """video [B, C, T, H, W] in [0, 1] -> mp4/gif on disk."""
+def save_videos_grid(video: np.ndarray, path: str, fps: int = 25) -> str:
+    """video [B, C, T, H, W] in [0, 1] -> mp4/gif on disk.
+
+    Returns the path actually written: with no ffmpeg backend available the
+    fallback writes per-frame PNGs into a directory named after the target
+    (and that directory path is returned so callers report the truth)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     frames = to_uint8(video)
     import imageio
 
     if path.endswith(".gif"):
         imageio.mimsave(path, list(frames), fps=fps)
-        return
+        return path
     try:
         writer = imageio.get_writer(path, fps=fps, codec="libx264", quality=8)
     except Exception:
@@ -40,10 +44,13 @@ def save_videos_grid(video: np.ndarray, path: str, fps: int = 25) -> None:
         os.makedirs(stem, exist_ok=True)
         for i, fr in enumerate(frames):
             imageio.imwrite(os.path.join(stem, f"frame_{i:06d}.png"), fr)
-        return
+        print(f"[stableavatar-tpu] no ffmpeg video backend - wrote "
+              f"{len(frames)} PNG frames to {stem}/ instead of {path}")
+        return stem
     with writer:
         for fr in frames:
             writer.append_data(fr)
+    return path
 
 
 def save_image(image: np.ndarray, path: str) -> None:

@@ -279,3 +279,61 @@ def test_prepared_params_quant_forward_close():
     )
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 0.03, rel
+
+
+def test_generate_long_fast_path_close_to_baseline():
+    """The whole long pipeline with prepared params (rope_split + W8A8)
+    stays close to the bf16 pipeline — catches fast-path wiring bugs in the
+    jitted sweep step."""
+    from tests.test_pipeline import tiny_models  # noqa: F401 (fixture import)
+    import pytest
+
+    pytest.importorskip("numpy")
+    from stableavatar_tpu.pipelines.long import generate_long
+    from stableavatar_tpu.utils.fastpath import prepare_fast_params
+
+    # build tiny models directly (fixture is module-scoped elsewhere)
+    from tests.test_pipeline import (
+        CLIP_E2E, DIT_E2E, T5_E2E, VAE_E2E, W2V_E2E,
+    )
+    from stableavatar_tpu.models.clip import init_clip_visual
+    from stableavatar_tpu.models.dit import init_dit
+    from stableavatar_tpu.models.t5 import init_t5
+    from stableavatar_tpu.models.vae import init_vae
+    from stableavatar_tpu.models.wav2vec import init_wav2vec2
+    from stableavatar_tpu.pipelines.common import WanModels
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    base = dict(
+        vae_params=init_vae(ks[1], VAE_E2E), vae_cfg=VAE_E2E,
+        t5_params=init_t5(ks[2], T5_E2E), t5_cfg=T5_E2E,
+        clip_params=init_clip_visual(ks[3], CLIP_E2E), clip_cfg=CLIP_E2E,
+        wav2vec_params=init_wav2vec2(ks[4], W2V_E2E), wav2vec_cfg=W2V_E2E,
+    )
+    dit_params = init_dit(ks[0], DIT_E2E)
+    dit_params["head"]["head"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(9),
+                          dit_params["head"]["head"]["w"].shape) * 0.05
+    )
+
+    rng = np.random.default_rng(2)
+    ref = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    wav = rng.standard_normal(14 * 640).astype(np.float32) * 0.1
+    text_ctx = jnp.asarray(
+        rng.standard_normal((3, DIT_E2E.text_len, DIT_E2E.text_dim)), jnp.float32
+    )
+    kw = dict(ref_image=ref, vocal_waveform=wav, text_ctx=text_ctx,
+              num_inference_steps=2, clip_length=9, overlap_window_length=1,
+              seed=3, output_type="latent")
+
+    models = WanModels(dit_params=dit_params, dit_cfg=DIT_E2E, **base)
+    want = np.asarray(generate_long(models, **kw).latents, np.float32)
+
+    fast = WanModels(
+        dit_params=prepare_fast_params(dit_params, DIT_E2E, quant=True),
+        dit_cfg=DIT_E2E, rope_split=True, attn_quant="qk", **base,
+    )
+    got = np.asarray(generate_long(fast, **kw).latents, np.float32)
+
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.05, rel
