@@ -248,12 +248,17 @@ def _cross_attention(
     v = apply_linear(p["v"], context_text)
     k = k.reshape(b, -1, num_heads, d)
     v = v.reshape(b, -1, num_heads, d)
-    txt = attention(q, k, v, quant=quant)
 
     k_img = rms_norm(apply_linear(p["k_img"], context_img), p["norm_k_img"]["w"], eps).astype(dt)
     v_img = apply_linear(p["v_img"], context_img)
     k_img = k_img.reshape(b, -1, num_heads, d)
     v_img = v_img.reshape(b, -1, num_heads, d)
+
+    # NOTE: batching text+img into one call (stacked batch + per-row k_lens)
+    # was tried and measured SLOWER (+0.07 s/step): duplicating q for the
+    # stacked batch costs more HBM traffic than the saved kernel launch
+    # (scripts/bench_dit_step.py).  Two calls it is.
+    txt = attention(q, k, v, quant=quant)
     img = attention(q, k_img, v_img, quant=quant)
 
     # vocal branch: per-latent-frame attention (q regrouped to [b*f, l/f, ...]);
