@@ -176,12 +176,14 @@ def main():
     # ---- TeaCache measured run ----
     from stableavatar_tpu.models.teacache import TeaCache, get_teacache_coefficients
 
+    # warmup that compiles BOTH sweep variants (all-compute and all-skip):
+    # huge threshold + no start window forces skips from call 1 on
     models.teacache = TeaCache(
-        get_teacache_coefficients("wan2.1-t2v-1.3b"), steps,
-        rel_l1_thresh=0.1, num_skip_start_steps=5,
+        get_teacache_coefficients("wan2.1-t2v-1.3b"), 99,
+        rel_l1_thresh=1e9, num_skip_start_steps=0,
     )
-    run_pipeline(models, size=size, steps=2, seed=1, n_windows=n_windows,
-                 overlap=overlap)  # compile the skip path
+    run_pipeline(models, size=size, steps=3, seed=1, n_windows=n_windows,
+                 overlap=overlap)
     models.teacache = TeaCache(
         get_teacache_coefficients("wan2.1-t2v-1.3b"), steps,
         rel_l1_thresh=0.1, num_skip_start_steps=5,

@@ -249,6 +249,10 @@ def load_models(args):
         rope_split = True
         attn_quant = "qk" if args.fast_path in ("qk", "linears") else "none"
 
+    # reference semantics: ring_degree>1 selects ring attention inside the
+    # sp group (inference.py:445-449 composes world = ring x ulysses)
+    attn_impl = "ring" if getattr(args, "ring_degree", 1) > 1 else "ulysses"
+
     return WanModels(
         dit_params=dit_params,
         dit_cfg=cfg,
@@ -264,6 +268,7 @@ def load_models(args):
         teacache=teacache,
         rope_split=rope_split,
         attn_quant=attn_quant,
+        attn_impl=attn_impl,
     )
 
 

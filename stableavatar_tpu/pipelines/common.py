@@ -48,6 +48,7 @@ class WanModels:
     # prepared by prepare_fast_params (split-pair q/k layout, W8A8 linears)
     rope_split: bool = False
     attn_quant: str = "none"
+    attn_impl: str = "ulysses"  # "ring" for K/V-rotating long-context SP
 
 
 def encode_prompt_ids(models: WanModels, ids: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

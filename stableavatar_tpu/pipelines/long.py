@@ -92,83 +92,8 @@ def plan_audio_slices(
 @partial(
     jax.jit,
     static_argnames=(
-        "dit_cfg", "clip_length", "text_scale", "audio_scale", "rope_split",
-        "attn_quant",
-    ),
-    donate_argnums=(1,),
-)
-def _window_step(
-    params,
-    latents,  # [1, 16, f, h, w]
-    y,  # [3, 20, f, h, w]
-    text_ctx,  # [3, text_len, text_dim]
-    clip_ctx,  # [3, 257, 1280]
-    vocal_emb,  # [1, La, 768]
-    t,  # scalar timestep
-    sigma,
-    sigma_next,
-    dit_cfg,
-    clip_length: int,
-    text_scale: float,
-    audio_scale: float,
-    rope_split: bool = False,
-    attn_quant: str = "none",
-):
-    """One flow-matching step on one window: CFG triple -> DiT -> combine ->
-    Euler update.  Donated latents buffer keeps HBM flat."""
-    lat3 = jnp.concatenate([latents] * 3, axis=0).astype(jnp.bfloat16)
-    tb = jnp.full((3,), t, dtype=jnp.float32)
-    noise_pred, residual = dit_forward(
-        params,
-        dit_cfg,
-        lat3,
-        tb,
-        text_ctx,
-        clip_ctx,
-        y,
-        vocal_emb,
-        video_sample_n_frames=clip_length,
-        vocal_cfg_tile=True,
-        return_residual=True,
-        rope_split=rope_split,
-        attn_quant=attn_quant,
-    )
-    noise_pred = guidance_combine_long(noise_pred, text_scale, audio_scale)
-    new_lat = latents.astype(jnp.float32) + (sigma_next - sigma) * noise_pred
-    return new_lat.astype(jnp.bfloat16), residual
-
-
-@partial(
-    jax.jit,
-    static_argnames=("dit_cfg", "text_scale", "audio_scale"),
-    donate_argnums=(1,),
-)
-def _window_step_skip(
-    params,
-    latents,
-    y,
-    residual,
-    t,
-    sigma,
-    sigma_next,
-    dit_cfg,
-    text_scale: float,
-    audio_scale: float,
-):
-    """TeaCache skip path: no transformer blocks, cached residual applied."""
-    lat3 = jnp.concatenate([latents] * 3, axis=0).astype(jnp.bfloat16)
-    tb = jnp.full((3,), t, dtype=jnp.float32)
-    noise_pred = dit_forward_skip(params, dit_cfg, lat3, tb, y, residual)
-    noise_pred = guidance_combine_long(noise_pred, text_scale, audio_scale)
-    new_lat = latents.astype(jnp.float32) + (sigma_next - sigma) * noise_pred
-    return new_lat.astype(jnp.bfloat16)
-
-
-@partial(
-    jax.jit,
-    static_argnames=(
         "dit_cfg", "windows", "overlap", "text_scale", "audio_scale",
-        "rope_split", "attn_quant", "blend", "temporal_ratio",
+        "rope_split", "attn_quant", "attn_impl", "blend", "temporal_ratio",
     ),
     donate_argnums=(1,),
 )
@@ -190,14 +115,15 @@ def _sweep_step(
     audio_scale: float,
     rope_split: bool,
     attn_quant: str,
+    attn_impl: str,
     blend: bool,
     temporal_ratio: int,
 ):
     """One full flow-matching step across ALL sliding windows in a single
-    jitted program — one device dispatch per step (the per-window Python
+    jitted program — one device dispatch per step (a per-window Python
     loop pays a dispatch round-trip per window on remote/tunneled hosts and
-    non-trivial host latency everywhere).  Used when TeaCache is off; the
-    TeaCache path keeps per-window host control flow."""
+    non-trivial host latency everywhere).  TeaCache runs use
+    `_sweep_step_tc` with a precomputed static skip schedule."""
     pred = jnp.zeros_like(latents_all)
     tb = jnp.full((3,), t, dtype=jnp.float32)
     prev_end = None
@@ -210,6 +136,7 @@ def _sweep_step(
             params, dit_cfg, lat3, tb, text_ctx, clip_ctx, y_full[:, :, :f],
             vocal_embs[wi], video_sample_n_frames=clip_len_w,
             vocal_cfg_tile=True, rope_split=rope_split, attn_quant=attn_quant,
+            attn_impl=attn_impl,
         )
         noise_pred = guidance_combine_long(noise_pred, text_scale, audio_scale)
         new_lat = (
@@ -227,6 +154,114 @@ def _sweep_step(
         pred = jax.lax.dynamic_update_slice_in_dim(pred, new_lat, s, axis=2)
         prev_end = e
     return pred
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "dit_cfg", "windows", "overlap", "text_scale", "audio_scale",
+        "rope_split", "attn_quant", "attn_impl", "blend", "temporal_ratio",
+        "compute_flags",
+    ),
+    donate_argnums=(1,),
+)
+def _sweep_step_tc(
+    params,
+    latents_all,
+    y_full,
+    text_ctx,
+    clip_ctx,
+    vocal_embs,
+    residual,  # [3, L_tokens, dim] carried TeaCache residual (zeros if none)
+    t,
+    sigma,
+    sigma_next,
+    ramp,
+    dit_cfg,
+    windows,
+    overlap: int,
+    text_scale: float,
+    audio_scale: float,
+    rope_split: bool,
+    attn_quant: str,
+    attn_impl: str,
+    blend: bool,
+    temporal_ratio: int,
+    compute_flags,  # static tuple[bool] per window: True=compute, False=skip
+):
+    """TeaCache-aware single-dispatch sweep: the skip schedule is
+    deterministic in e0(t) (`models/teacache.py`), so the pipeline
+    precomputes every (step, window) decision up front and compiles one
+    program per distinct per-step flag pattern (2-4 patterns in practice).
+    Returns (new latents, updated residual carry)."""
+    pred = jnp.zeros_like(latents_all)
+    tb = jnp.full((3,), t, dtype=jnp.float32)
+    prev_end = None
+    for wi, (s, e) in enumerate(windows):
+        f = e - s
+        clip_len_w = (f - 1) * temporal_ratio + 1
+        lat_win = jax.lax.dynamic_slice_in_dim(latents_all, s, f, axis=2)
+        lat3 = jnp.concatenate([lat_win] * 3, axis=0).astype(jnp.bfloat16)
+        if compute_flags[wi]:
+            noise_pred, residual = dit_forward(
+                params, dit_cfg, lat3, tb, text_ctx, clip_ctx,
+                y_full[:, :, :f], vocal_embs[wi],
+                video_sample_n_frames=clip_len_w, vocal_cfg_tile=True,
+                return_residual=True, rope_split=rope_split,
+                attn_quant=attn_quant, attn_impl=attn_impl,
+            )
+        else:
+            noise_pred = dit_forward_skip(
+                params, dit_cfg, lat3, tb, y_full[:, :, :f], residual
+            )
+        noise_pred = guidance_combine_long(noise_pred, text_scale, audio_scale)
+        new_lat = (
+            lat_win.astype(jnp.float32) + (sigma_next - sigma) * noise_pred
+        ).astype(jnp.bfloat16)
+        if s != 0 and blend:
+            prev_tail = jax.lax.dynamic_slice_in_dim(
+                pred, prev_end - overlap, overlap, axis=2
+            )
+            head = new_lat[:, :, :overlap]
+            blended = head * ramp.astype(head.dtype) + prev_tail * (
+                1 - ramp
+            ).astype(head.dtype)
+            new_lat = jnp.concatenate([blended, new_lat[:, :, overlap:]], axis=2)
+        pred = jax.lax.dynamic_update_slice_in_dim(pred, new_lat, s, axis=2)
+        prev_end = e
+    return pred, residual
+
+
+def precompute_teacache_plan(teacache, e0_steps, n_windows: int):
+    """Simulate the controller over the (step x window) call sequence and
+    return per-step tuples of compute flags.  Exactly the decisions the
+    per-window loop would make: same counter/threshold semantics, same
+    can_skip=False until a residual exists (models/teacache.py:plan).
+
+    Mixed patterns within one step are canonicalized to all-compute so the
+    jitted sweep compiles at most TWO programs (all-compute / all-skip);
+    the forced computes are removed from the skip accounting (computing
+    where the controller would have skipped only improves fidelity — it
+    happens on the 1-3 threshold-crossing steps of a run)."""
+    plan = []
+    have_residual = False
+    for e0 in e0_steps:
+        flags = []
+        for _ in range(n_windows):
+            compute = teacache.plan(e0, can_skip=have_residual)
+            if compute:
+                have_residual = True
+            flags.append(bool(compute))
+        plan.append(tuple(flags))
+
+    canon = []
+    for flags in plan:
+        if all(flags) or not any(flags):
+            canon.append(flags)
+        else:
+            teacache.skipped_calls -= sum(1 for f in flags if not f)
+            canon.append(tuple(True for _ in flags))
+    return canon
 
 
 @dataclasses.dataclass
@@ -304,114 +339,59 @@ def generate_long(
         ramp = jnp.asarray(w)[None, None, :, None, None]
 
     teacache = models.teacache
+    vocal_stacked = jnp.stack(vocal_embs)
+    windows_t = tuple(windows)
+    ramp_arg = ramp if ramp is not None else jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
+
+    tc_plan = None
+    residual_carry = None
     if teacache is not None:
         teacache.reset()
+        # the whole skip schedule is a deterministic function of e0(t):
+        # precompute every decision (one batched e0 eval, host-side
+        # controller simulation) so TeaCache runs are also one dispatch per
+        # step (one compilation per distinct per-step flag pattern)
+        e0_all = dit_time_e0(
+            models.dit_params, models.dit_cfg,
+            jnp.asarray(np.asarray(sched.timesteps), jnp.float32),
+        )
+        e0_steps = [e0_all[i : i + 1] for i in range(sched.num_steps)]
+        tc_plan = precompute_teacache_plan(teacache, e0_steps, len(windows))
+        fpb0 = windows[0][1] - windows[0][0]
+        l_tokens = fpb0 * (lh // 2) * (lw // 2)
+        residual_carry = jnp.zeros(
+            (3, l_tokens, models.dit_cfg.dim), jnp.bfloat16
+        )
 
-    # single-dispatch sweep path (TeaCache off): all windows of one step in
-    # one jitted program
-    use_sweep = teacache is None
-    if use_sweep:
-        vocal_stacked = jnp.stack(vocal_embs)
-        windows_t = tuple(windows)
-        ramp_arg = ramp if ramp is not None else jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
+    common = dict(
+        dit_cfg=models.dit_cfg,
+        windows=windows_t,
+        overlap=int(overlap_window_length),
+        text_scale=float(text_guide_scale),
+        audio_scale=float(audio_guide_scale),
+        rope_split=models.rope_split,
+        attn_quant=models.attn_quant,
+        attn_impl=models.attn_impl,
+        temporal_ratio=int(models.vae_cfg.temporal_compression_ratio),
+    )
 
     for i in range(sched.num_steps):
       with phase("denoise_step"):
         t = sched.timesteps[i]
         sigma, sigma_next = sched.sigmas[i], sched.sigmas[i + 1]
-        if use_sweep:
+        blend = bool(i != 0 and ramp is not None)
+        if tc_plan is None:
             latents_all = _sweep_step(
-                models.dit_params,
-                latents_all,
-                y_full,
-                text_ctx,
-                clip_ctx,
-                vocal_stacked,
-                t,
-                sigma,
-                sigma_next,
-                ramp_arg,
-                models.dit_cfg,
-                windows_t,
-                int(overlap_window_length),
-                float(text_guide_scale),
-                float(audio_guide_scale),
-                models.rope_split,
-                models.attn_quant,
-                bool(i != 0 and ramp is not None),
-                int(models.vae_cfg.temporal_compression_ratio),
+                models.dit_params, latents_all, y_full, text_ctx, clip_ctx,
+                vocal_stacked, t, sigma, sigma_next, ramp_arg,
+                blend=blend, **common,
             )
-            if step_callback is not None:
-                step_callback(i, latents_all)
-            continue
-        pred_latents = jnp.zeros_like(latents_all)
-        prev_end = None
-        # e0 depends only on t: compute once per step, not per window
-        e0_step = (
-            dit_time_e0(models.dit_params, models.dit_cfg, jnp.full((1,), t))
-            if teacache is not None
-            else None
-        )
-        for wi, (s, e) in enumerate(windows):
-            f = e - s
-            # per-window frame count keeps the vocal projector's window count
-            # equal to the latent frame count (matters for audio shorter than
-            # one full window, where the reference would crash)
-            clip_len_w = (f - 1) * models.vae_cfg.temporal_compression_ratio + 1
-            lat_win = jax.lax.dynamic_slice_in_dim(latents_all, s, f, axis=2)
-            y_win = y_full[:, :, :f]
-            compute = True
-            if teacache is not None:
-                can_skip = (
-                    teacache.residual is not None
-                    and teacache.residual.shape[1]
-                    == f * (lat_win.shape[-2] // 2) * (lat_win.shape[-1] // 2)
-                )
-                compute = teacache.plan(e0_step, can_skip=can_skip)
-            if compute:
-                new_lat, residual = _window_step(
-                    models.dit_params,
-                    lat_win,
-                    y_win,
-                    text_ctx,
-                    clip_ctx,
-                    vocal_embs[wi],
-                    t,
-                    sigma,
-                    sigma_next,
-                    models.dit_cfg,
-                    clip_len_w,
-                    float(text_guide_scale),
-                    float(audio_guide_scale),
-                    rope_split=models.rope_split,
-                    attn_quant=models.attn_quant,
-                )
-                if teacache is not None:
-                    teacache.store(residual)
-            else:
-                new_lat = _window_step_skip(
-                    models.dit_params,
-                    lat_win,
-                    y_win,
-                    teacache.residual,
-                    t,
-                    sigma,
-                    sigma_next,
-                    models.dit_cfg,
-                    float(text_guide_scale),
-                    float(audio_guide_scale),
-                )
-            if s != 0 and i != 0 and ramp is not None:
-                prev_tail = jax.lax.dynamic_slice_in_dim(
-                    pred_latents, prev_end - overlap_window_length,
-                    overlap_window_length, axis=2,
-                )
-                head = new_lat[:, :, :overlap_window_length]
-                blended = head * ramp.astype(head.dtype) + prev_tail * (1 - ramp).astype(head.dtype)
-                new_lat = jnp.concatenate([blended, new_lat[:, :, overlap_window_length:]], axis=2)
-            pred_latents = jax.lax.dynamic_update_slice_in_dim(pred_latents, new_lat, s, axis=2)
-            prev_end = e
-        latents_all = pred_latents
+        else:
+            latents_all, residual_carry = _sweep_step_tc(
+                models.dit_params, latents_all, y_full, text_ctx, clip_ctx,
+                vocal_stacked, residual_carry, t, sigma, sigma_next, ramp_arg,
+                blend=blend, compute_flags=tc_plan[i], **common,
+            )
         if step_callback is not None:
             step_callback(i, latents_all)
 
@@ -423,6 +403,11 @@ def generate_long(
     # vae.dtype, wan_inference_long_pipeline.py:425) — halves decode HBM
     with phase("vae_decode"):
         frames = decode_video(models.vae_params, latents_all.astype(jnp.bfloat16), models.vae_cfg)
-    video = np.asarray(frames, dtype=np.float32) / 2.0 + 0.5
-    video = np.clip(video, 0.0, 1.0)
+        # quantize to uint8 ON DEVICE before the host transfer: video sinks
+        # consume uint8 anyway, and the transfer is 4x smaller (matters on
+        # remote-attached accelerators)
+        frames_u8 = jnp.clip(
+            jnp.round((frames.astype(jnp.float32) / 2.0 + 0.5) * 255.0), 0, 255
+        ).astype(jnp.uint8)
+        video = np.asarray(frames_u8).astype(np.float32) / 255.0
     return LongPipelineOutput(videos=video, latents=latents)

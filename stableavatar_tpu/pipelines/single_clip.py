@@ -32,7 +32,7 @@ from stableavatar_tpu.schedulers.flow_match import flow_match_timesteps
     jax.jit,
     static_argnames=(
         "dit_cfg", "clip_length", "text_scale", "audio_scale", "rope_split",
-        "attn_quant",
+        "attn_quant", "attn_impl",
     ),
     donate_argnums=(1,),
 )
@@ -52,13 +52,14 @@ def _clip_step(
     audio_scale: float,
     rope_split: bool = False,
     attn_quant: str = "none",
+    attn_impl: str = "ulysses",
 ):
     lat3 = jnp.concatenate([latents] * 3, axis=0).astype(jnp.bfloat16)
     tb = jnp.full((3,), t, dtype=jnp.float32)
     noise_pred = dit_forward(
         params, dit_cfg, lat3, tb, text_ctx, clip_ctx, y, vocal_emb,
         video_sample_n_frames=clip_length, vocal_cfg_tile=True,
-        rope_split=rope_split, attn_quant=attn_quant,
+        rope_split=rope_split, attn_quant=attn_quant, attn_impl=attn_impl,
     )
     noise_pred = guidance_combine_single(noise_pred, text_scale, audio_scale)
     new_lat = latents.astype(jnp.float32) + (sigma_next - sigma) * noise_pred
@@ -69,13 +70,14 @@ def _clip_step(
     jax.jit,
     static_argnames=(
         "dit_cfg", "clip_length", "text_scale", "audio_scale", "rope_split",
-        "attn_quant",
+        "attn_quant", "attn_impl",
     ),
 )
 def _clip_velocity(
     params, latents, y, text_ctx, clip_ctx, vocal_emb, t, dit_cfg,
     clip_length: int, text_scale: float, audio_scale: float,
     rope_split: bool = False, attn_quant: str = "none",
+    attn_impl: str = "ulysses",
 ):
     """CFG-combined velocity only (for the multistep solvers)."""
     lat3 = jnp.concatenate([latents] * 3, axis=0).astype(jnp.bfloat16)
@@ -83,7 +85,7 @@ def _clip_velocity(
     noise_pred = dit_forward(
         params, dit_cfg, lat3, tb, text_ctx, clip_ctx, y, vocal_emb,
         video_sample_n_frames=clip_length, vocal_cfg_tile=True,
-        rope_split=rope_split, attn_quant=attn_quant,
+        rope_split=rope_split, attn_quant=attn_quant, attn_impl=attn_impl,
     )
     return guidance_combine_single(noise_pred, text_scale, audio_scale)
 
@@ -153,6 +155,7 @@ def generate_single_clip(
                 float(audio_cfg_scale),
                 rope_split=models.rope_split,
                 attn_quant=models.attn_quant,
+                attn_impl=models.attn_impl,
             )
     else:
         # multistep solvers (FlowDPM++ / FlowUniPC — reference fm_solvers)
@@ -171,6 +174,7 @@ def generate_single_clip(
                 solver.timesteps[i], models.dit_cfg, clip_length,
                 float(prompt_cfg_scale), float(audio_cfg_scale),
                 rope_split=models.rope_split, attn_quant=models.attn_quant,
+                attn_impl=models.attn_impl,
             )
             lat_f, state = solver.step(v, i, latents, state)
             latents = lat_f.astype(jnp.bfloat16)

@@ -325,3 +325,33 @@ def test_final_window_seam_quality(tiny_models):
     interior = np.delete(deltas, junction - 1)
     # the seam must not be a catastrophic outlier vs interior transitions
     assert seam < 2.5 * interior.max(), (seam, interior)
+
+
+def test_precompute_teacache_plan_matches_controller_and_canonicalizes():
+    """The precomputed schedule reproduces the controller's decisions, the
+    first call always computes, mixed steps canonicalize to all-compute, and
+    the skip accounting reflects the FINAL plan."""
+    import jax.numpy as jnp
+
+    from stableavatar_tpu.models.teacache import TeaCache
+    from stableavatar_tpu.pipelines.long import precompute_teacache_plan
+
+    steps, windows = 10, 2
+    rng = np.random.default_rng(0)
+    # e0 sequence with varying drift to trigger mixed decisions
+    e0s = [jnp.asarray(rng.standard_normal((1, 6, 8)) * (1 + 0.3 * i))
+           for i in range(steps)]
+
+    tc = TeaCache([0.0, 0.0, 0.0, 1.0, 0.0], steps, rel_l1_thresh=0.35,
+                  num_skip_start_steps=2)
+    plan = precompute_teacache_plan(tc, e0s, windows)
+
+    assert len(plan) == steps and all(len(f) == windows for f in plan)
+    assert plan[0][0] is True  # first call must compute
+    # every step is all-compute or all-skip after canonicalization
+    for flags in plan:
+        assert all(flags) or not any(flags)
+    # accounting matches the final plan exactly
+    actual_skips = sum(1 for f in plan for x in f if not x)
+    assert tc.skipped_calls == actual_skips, (tc.skipped_calls, actual_skips)
+    assert tc.total_calls == steps * windows
