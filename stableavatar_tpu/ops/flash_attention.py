@@ -807,8 +807,8 @@ def flash_attention(
     causal: bool = False,
     rope: Optional[jnp.ndarray] = None,
     quant: str = "none",
-    block_q: int = 1024,
-    block_k: int = 1024,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
 ) -> jnp.ndarray:
     """Flash attention: q [B, Lq, N, D], k/v [B, Lk, N, D] -> [B, Lq, N, D].
 
@@ -816,9 +816,17 @@ def flash_attention(
       q/k must then be in split-pair channel layout (pre-permuted weights).
     quant: "none" | "qk" | "qkpv" — int8 MXU fast paths (inference only; the
       quantized paths are not differentiable).
+    Default blocks are per-path v5e sweep winners (/tmp probe scripts,
+    docs/PERF.md): int8 primal 1536x1536 (53.6 vs 58.1 ms/layer at 1024²);
+    bf16 keeps 1024² because the same blocks feed the backward kernels,
+    whose VMEM budget is tighter.
     """
     if causal:
         raise NotImplementedError("causal masking is not used by the Wan models")
+    if block_q is None:
+        block_q = 1536 if quant != "none" else 1024
+    if block_k is None:
+        block_k = 1536 if quant != "none" else 1024
     b, _, _, d = q.shape
     lk = k.shape[1]
     if scale is None:
