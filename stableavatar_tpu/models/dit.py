@@ -198,14 +198,19 @@ def _self_attention(p, x, freqs: RopeFreqs, num_heads, eps, rope_packed=None,
             from stableavatar_tpu.ops.ring_attention import ring_attention
 
             shard_map = getattr(jax, "shard_map", None)
+            # jax.shard_map takes check_vma; the experimental fallback for
+            # older jax only knows the check_rep spelling of the same knob
+            check_kw = {"check_vma": False}
             if shard_map is None:  # older jax
                 from jax.experimental.shard_map import shard_map
+
+                check_kw = {"check_rep": False}
             fn = shard_map(
                 _partial(ring_attention, axis_name="sp", quant=quant),
                 mesh=mesh,
                 in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp")),
                 out_specs=P(None, "sp"),
-                check_vma=False,
+                **check_kw,
             )
             out = fn(q, k, v)
             return apply_linear(p["o"], out.reshape(b, l, dim))

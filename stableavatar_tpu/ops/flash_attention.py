@@ -19,8 +19,10 @@ Design (see pallas_guide.md):
   (scripts/bench_dit_step.py);
 - **int8 MXU path** (`quant="qk"` / `"qkpv"`): v5e int8 matmul throughput is
   2x bf16 (394 vs 197 TOPS — measured via scripts/microbench_*).  q/k are
-  quantized per-token (dynamic absmax scales; fp32 softmax logits
-  reconstructed exactly as (q8·k8) * sq * sk * scale) in ONE fused XLA prep
+  quantized with ONE dynamic absmax scale per (batch, head) slab — coarser
+  than per-token, acceptable because RMS-normed q/k have near-uniform
+  per-token magnitudes (see the `_quant_slab` comment); fp32 softmax logits
+  reconstructed exactly as (q8·k8) * sq * sk * scale, in ONE fused XLA prep
   pass, with k pre-transposed to the MXU-native [D, L] layout, in the spirit
   of SageAttention (arXiv:2410.02367), which shows int8 QK^T is visually
   lossless for video diffusion DiTs.  `"qkpv"` additionally runs P·V on the

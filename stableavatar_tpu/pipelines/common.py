@@ -73,7 +73,9 @@ def encode_prompt_ids(models: WanModels, ids: jnp.ndarray, mask: jnp.ndarray) ->
         mask_d = jax.device_put(mask, t5_dev)
         emb = t5_encode(models.t5_params, models.t5_cfg, ids_d, mask_d)
         emb = emb * mask_d[..., None].astype(emb.dtype)
-        return jax.device_put(np.asarray(emb), jax.devices()[0])
+        # local_devices: under multi-host, jax.devices() is the global list and
+        # process k may not address jax.devices()[0]
+        return jax.device_put(np.asarray(emb), jax.local_devices()[0])
     emb = t5_encode(models.t5_params, models.t5_cfg, ids, mask)
     return emb * mask[..., None].astype(emb.dtype)
 

@@ -79,12 +79,23 @@ def plan_windows(infer_length: int, frames_per_batch: int, overlap: int) -> List
 def plan_audio_slices(
     windows, infer_length: int, samples_per_frame: int, total_samples: int
 ) -> List[np.ndarray]:
-    """Per-window raw-sample indices with modular wrap (`:716-723`).  Uniform
-    window length keeps one wav2vec compilation for all windows."""
+    """Per-window raw-sample indices (`:716-723`).
+
+    Non-final windows take `(e-s)*4` video frames' worth of samples with
+    modular wrap; the FINAL window (`index_end == infer_length`) is truncated
+    at the end of the audio track (`range(start, max_audio_index)`,
+    `wan_inference_long_pipeline.py:718-719`) — a shorter slice, no wrap —
+    which shifts its wav2vec feature length and hence the vocal projector's
+    per-frame window split.  Verified step-for-step against the reference
+    pipeline in tests/test_pipeline_parity.py."""
     out = []
     for s, e in windows:
-        n = (e - s) * 4 * samples_per_frame
-        idx = np.arange(s * 4 * samples_per_frame, s * 4 * samples_per_frame + n)
+        start = s * 4 * samples_per_frame
+        if e == infer_length:
+            idx = np.arange(start, max(total_samples, start + 1))
+        else:
+            n = (e - s) * 4 * samples_per_frame
+            idx = np.arange(start, start + n)
         out.append(np.mod(idx, total_samples))
     return out
 
@@ -94,6 +105,7 @@ def plan_audio_slices(
     static_argnames=(
         "dit_cfg", "windows", "overlap", "text_scale", "audio_scale",
         "rope_split", "attn_quant", "attn_impl", "blend", "temporal_ratio",
+        "vocal_lens",
     ),
     donate_argnums=(1,),
 )
@@ -103,7 +115,7 @@ def _sweep_step(
     y_full,  # [3, 20, fpb, lh, lw]
     text_ctx,
     clip_ctx,
-    vocal_embs,  # [W, 1, La, 768] stacked per-window features
+    vocal_embs,  # [W, 1, La_max, 768] stacked (zero-padded) per-window features
     t,
     sigma,
     sigma_next,
@@ -118,6 +130,7 @@ def _sweep_step(
     attn_impl: str,
     blend: bool,
     temporal_ratio: int,
+    vocal_lens,  # static tuple: true (pre-pad) feature length per window
 ):
     """One full flow-matching step across ALL sliding windows in a single
     jitted program — one device dispatch per step (a per-window Python
@@ -132,9 +145,12 @@ def _sweep_step(
         clip_len_w = (f - 1) * temporal_ratio + 1
         lat_win = jax.lax.dynamic_slice_in_dim(latents_all, s, f, axis=2)
         lat3 = jnp.concatenate([lat_win] * 3, axis=0).astype(jnp.bfloat16)
+        # static-prefix slice back to the true feature length: the final
+        # window's audio is truncated at the track end (shorter features),
+        # and the vocal projector's window plan is a function of that length
         noise_pred = dit_forward(
             params, dit_cfg, lat3, tb, text_ctx, clip_ctx, y_full[:, :, :f],
-            vocal_embs[wi], video_sample_n_frames=clip_len_w,
+            vocal_embs[wi][:, : vocal_lens[wi]], video_sample_n_frames=clip_len_w,
             vocal_cfg_tile=True, rope_split=rope_split, attn_quant=attn_quant,
             attn_impl=attn_impl,
         )
@@ -161,7 +177,7 @@ def _sweep_step(
     static_argnames=(
         "dit_cfg", "windows", "overlap", "text_scale", "audio_scale",
         "rope_split", "attn_quant", "attn_impl", "blend", "temporal_ratio",
-        "compute_flags",
+        "compute_flags", "vocal_lens",
     ),
     donate_argnums=(1,),
 )
@@ -188,6 +204,7 @@ def _sweep_step_tc(
     blend: bool,
     temporal_ratio: int,
     compute_flags,  # static tuple[bool] per window: True=compute, False=skip
+    vocal_lens,  # static tuple: true (pre-pad) feature length per window
 ):
     """TeaCache-aware single-dispatch sweep: the skip schedule is
     deterministic in e0(t) (`models/teacache.py`), so the pipeline
@@ -205,7 +222,7 @@ def _sweep_step_tc(
         if compute_flags[wi]:
             noise_pred, residual = dit_forward(
                 params, dit_cfg, lat3, tb, text_ctx, clip_ctx,
-                y_full[:, :, :f], vocal_embs[wi],
+                y_full[:, :, :f], vocal_embs[wi][:, : vocal_lens[wi]],
                 video_sample_n_frames=clip_len_w, vocal_cfg_tile=True,
                 return_residual=True, rope_split=rope_split,
                 attn_quant=attn_quant, attn_impl=attn_impl,
@@ -339,7 +356,17 @@ def generate_long(
         ramp = jnp.asarray(w)[None, None, :, None, None]
 
     teacache = models.teacache
-    vocal_stacked = jnp.stack(vocal_embs)
+    # the final window's truncated audio slice yields shorter wav2vec
+    # features; zero-pad to a uniform stack for the single-dispatch sweep and
+    # carry the true lengths statically (sliced back inside the jit)
+    vocal_lens = tuple(int(v.shape[1]) for v in vocal_embs)
+    la_max = max(vocal_lens)
+    vocal_stacked = jnp.stack(
+        [
+            jnp.pad(v, ((0, 0), (0, la_max - v.shape[1]), (0, 0)))
+            for v in vocal_embs
+        ]
+    )
     windows_t = tuple(windows)
     ramp_arg = ramp if ramp is not None else jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
 
@@ -373,6 +400,7 @@ def generate_long(
         attn_quant=models.attn_quant,
         attn_impl=models.attn_impl,
         temporal_ratio=int(models.vae_cfg.temporal_compression_ratio),
+        vocal_lens=vocal_lens,
     )
 
     for i in range(sched.num_steps):

@@ -35,9 +35,9 @@ MDX_SR = 44100
 
 
 def separate(audio_path: str, out_path: str, model_dir: str | None = None) -> str:
-    onnx_path = _find_model(model_dir)
-    if onnx_path is not None:
-        return separate_mdx_native(audio_path, out_path, onnx_path)
+    # reference-parity package first (`vocal_seperator.py:20-26`): until the
+    # native runner's output is validated against it on the real Kim_Vocal_2
+    # weights, audio-separator (when installed) is the trusted path
     try:
         from audio_separator.separator import Separator  # optional dep
 
@@ -47,12 +47,16 @@ def separate(audio_path: str, out_path: str, model_dir: str | None = None) -> st
         vocal = [o for o in outs if "Vocal" in o]
         return vocal[0] if vocal else outs[0]
     except ImportError:
-        warnings.warn(
-            "no Kim_Vocal_2.onnx found and audio-separator not installed; "
-            "using the HPSS DSP fallback — mount the MDX model for "
-            "reference-quality separation"
-        )
-        return _fallback_vocal_filter(audio_path, out_path)
+        pass
+    onnx_path = _find_model(model_dir)
+    if onnx_path is not None:
+        return separate_mdx_native(audio_path, out_path, onnx_path)
+    warnings.warn(
+        "no Kim_Vocal_2.onnx found and audio-separator not installed; "
+        "using the HPSS DSP fallback — mount the MDX model for "
+        "reference-quality separation"
+    )
+    return _fallback_vocal_filter(audio_path, out_path)
 
 
 def _find_model(model_dir):
@@ -92,31 +96,86 @@ def separate_mdx_native(
     return out_path
 
 
+def _torch_stft(x: np.ndarray, n_fft: int, hop: int, window: np.ndarray) -> np.ndarray:
+    """torch.stft(center=True, pad_mode='reflect', normalized=False) in numpy.
+
+    scipy.signal.stft normalizes by the window sum (its magnitudes are ~3800x
+    smaller at n_fft 7680), which is NOT what MDX-Net was trained on — this
+    matches the torch recipe UVR uses bit-for-bit.  x: [C, S] -> [C, F, T].
+    """
+    pad = n_fft // 2
+    xp = np.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = 1 + (xp.shape[-1] - n_fft) // hop
+    frames = np.lib.stride_tricks.sliding_window_view(xp, n_fft, axis=-1)[:, ::hop][
+        :, :n_frames
+    ]
+    return np.fft.rfft(frames * window, axis=-1).transpose(0, 2, 1)
+
+
+def _torch_istft(
+    Z: np.ndarray, n_fft: int, hop: int, window: np.ndarray, length: int
+) -> np.ndarray:
+    """torch.istft(center=True) inverse: windowed overlap-add normalized by
+    the summed squared window.  Z: [C, F, T] -> [C, length]."""
+    frames = np.fft.irfft(Z.transpose(0, 2, 1), n=n_fft, axis=-1) * window
+    c, t, _ = frames.shape
+    total = n_fft + hop * (t - 1)
+    out = np.zeros((c, total))
+    wsum = np.zeros(total)
+    for i in range(t):
+        out[:, i * hop : i * hop + n_fft] += frames[:, i]
+        wsum[i * hop : i * hop + n_fft] += window * window
+    out = out / np.maximum(wsum, 1e-10)
+    pad = n_fft // 2
+    return out[:, pad : pad + length]
+
+
+def _spec_to_model_input(Z: np.ndarray) -> np.ndarray:
+    """[2, dim_f, T] complex -> [1, 4, dim_f, T] float packed
+    [ch0_re, ch0_im, ch1_re, ch1_im] (torch view_as_real + permute layout
+    used by every Conv-TDF MDX export)."""
+    reim = np.stack([Z.real, Z.imag], axis=1)  # [2, 2, F, T]
+    return reim.reshape(1, 4, Z.shape[1], Z.shape[2]).astype(np.float32)
+
+
+def _model_output_to_spec(y: np.ndarray) -> np.ndarray:
+    """[1 or 4-first, 4, dim_f, T] -> [2, dim_f, T] complex."""
+    y = y.reshape(2, 2, y.shape[-2], y.shape[-1])
+    return y[:, 0] + 1j * y[:, 1]
+
+
 def mdx_separate_waveform(stereo: np.ndarray, graph) -> np.ndarray:
-    """[2, S] 44.1 kHz waveform -> [2, S] vocals via segment-wise MDX."""
-    from scipy.signal import istft, stft
+    """[2, S] 44.1 kHz waveform -> [2, S] vocals via overlapped chunked MDX.
+
+    UVR demixing recipe: waveform chunks of hop*(dim_t-1) samples processed
+    with trim = n_fft//2 margins on both sides; only the center
+    gen_size = chunk - 2*trim samples of each chunk's output are kept, so
+    consecutive chunks overlap by 2*trim and no window boundary artifacts
+    land in the stem."""
     from stableavatar_tpu.utils.onnx_runner import run_graph
 
-    _, _, Z = stft(
-        stereo, nperseg=MDX_N_FFT, noverlap=MDX_N_FFT - MDX_HOP, padded=True
-    )  # [2, F, T]
-    Zf = Z[:, :MDX_DIM_F]
-    t_total = Zf.shape[-1]
-    out = np.zeros_like(Zf)
-    for start in range(0, t_total, MDX_DIM_T):
-        seg = Zf[..., start : start + MDX_DIM_T]
-        pad = MDX_DIM_T - seg.shape[-1]
-        if pad:
-            seg = np.pad(seg, ((0, 0), (0, 0), (0, pad)))
-        x = np.concatenate([seg.real, seg.imag], axis=0)[None].astype(np.float32)
+    window = np.hanning(MDX_N_FFT + 1)[:-1]  # periodic hann, torch default
+    chunk = MDX_HOP * (MDX_DIM_T - 1)
+    trim = MDX_N_FFT // 2
+    gen = chunk - 2 * trim
+    n_samples = stereo.shape[-1]
+    n_chunks = max(1, -(-n_samples // gen))
+    padded = np.pad(stereo, ((0, 0), (trim, trim + n_chunks * gen - n_samples)))
+
+    out = np.zeros((2, n_chunks * gen), dtype=np.float32)
+    for k in range(n_chunks):
+        seg = padded[:, k * gen : k * gen + chunk]
+        if seg.shape[-1] < chunk:
+            seg = np.pad(seg, ((0, 0), (0, chunk - seg.shape[-1])))
+        Z = _torch_stft(seg, MDX_N_FFT, MDX_HOP, window)[:, :MDX_DIM_F]
+        x = _spec_to_model_input(Z)
         y = np.asarray(next(iter(run_graph(graph, {graph.inputs[0]: x}).values())))
-        y = y[0]
-        spec = y[:2] + 1j * y[2:]
-        out[..., start : start + MDX_DIM_T] = spec[..., : MDX_DIM_T - pad if pad else MDX_DIM_T]
-    Zv = np.zeros_like(Z)
-    Zv[:, :MDX_DIM_F] = out
-    _, vocals = istft(Zv, nperseg=MDX_N_FFT, noverlap=MDX_N_FFT - MDX_HOP)
-    return vocals[..., : stereo.shape[-1]].astype(np.float32)
+        spec = _model_output_to_spec(y)
+        Zv = np.zeros((2, MDX_N_FFT // 2 + 1, Z.shape[-1]), dtype=np.complex128)
+        Zv[:, :MDX_DIM_F] = spec
+        wav = _torch_istft(Zv, MDX_N_FFT, MDX_HOP, window, chunk)
+        out[:, k * gen : (k + 1) * gen] = wav[:, trim : trim + gen]
+    return out[:, :n_samples].astype(np.float32)
 
 
 # ---------------------------------------------------------------------------

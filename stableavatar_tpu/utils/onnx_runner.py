@@ -237,6 +237,8 @@ def _conv(x, w, b, attrs, transpose=False):
     pads = tuple(attrs["pads"].ints) if "pads" in attrs else (0,) * 4
     dil = tuple(attrs["dilations"].ints) if "dilations" in attrs else (1, 1)
     groups = attrs["group"].i if "group" in attrs else 1
+    if "auto_pad" in attrs and attrs["auto_pad"].s not in (None, b"", b"NOTSET"):
+        raise NotImplementedError(f"Conv auto_pad={attrs['auto_pad'].s!r}")
     nd = x.ndim - 2
     assert nd == 2, "only 2-D convs implemented (the MDX-Net op set)"
     if len(strides) < nd:
@@ -253,13 +255,27 @@ def _conv(x, w, b, attrs, transpose=False):
         # ConvTranspose weight layout is [C_in, C_out/groups, kH, kW];
         # express as input-dilated conv with the spatially-flipped kernel
         # (exact ONNX output-shape semantics:
-        #  out = (in-1)*stride - pad_b - pad_e + kernel)
+        #  out = (in-1)*stride - pad_b - pad_e + kernel + output_padding,
+        #  output_padding appended at the end of each spatial dim)
+        opad = (tuple(attrs["output_padding"].ints)
+                if "output_padding" in attrs else (0,) * nd)
+        if dil != (1, 1):
+            raise NotImplementedError("ConvTranspose dilations != 1")
         wt = jnp.asarray(w)
         kh, kw = wt.shape[2], wt.shape[3]
         wf = jnp.flip(wt, axis=(2, 3)).transpose(1, 0, 2, 3)  # -> OIHW
+        if groups > 1:
+            # grouped transpose: [C_in, C_out/g, k, k] -> per-group flip;
+            # after the transpose above the OIHW layout interleaves groups
+            # incorrectly, so reorder O to group-major
+            cin, cog = wt.shape[0], wt.shape[1]
+            wf = (jnp.flip(wt, axis=(2, 3))
+                  .reshape(groups, cin // groups, cog, kh, kw)
+                  .transpose(0, 2, 1, 3, 4)
+                  .reshape(groups * cog, cin // groups, kh, kw))
         pad_t = tuple(
-            (kh_kw - 1 - p0, kh_kw - 1 - p1)
-            for (p0, p1), kh_kw in zip(padding, (kh, kw))
+            (kh_kw - 1 - p0, kh_kw - 1 - p1 + op)
+            for (p0, p1), kh_kw, op in zip(padding, (kh, kw), opad)
         )
         out = lax.conv_general_dilated(
             x, wf, (1, 1), pad_t, lhs_dilation=strides,
@@ -361,9 +377,11 @@ def run_graph(graph: OnnxGraph, inputs: Dict[str, np.ndarray]):
                 x = x.T
             if a.get("transB") and a["transB"].i:
                 w = w.T
-            out = x @ w
+            alpha = a["alpha"].f if "alpha" in a else 1.0
+            beta = a["beta"].f if "beta" in a else 1.0
+            out = alpha * (x @ w)
             if len(i) > 2:
-                out = out + get(i[2])
+                out = out + beta * get(i[2])
         elif op in ("AveragePool", "MaxPool"):
             from jax import lax
 
@@ -380,8 +398,16 @@ def run_graph(graph: OnnxGraph, inputs: Dict[str, np.ndarray]):
         elif op == "GlobalAveragePool":
             x = get(i[0])
             out = jnp.mean(x, axis=tuple(range(2, x.ndim)), keepdims=True)
-        elif op in ("Identity", "Cast"):
+        elif op == "Identity":
             out = get(i[0])
+        elif op == "Cast":
+            # onnx TensorProto.DataType -> numpy
+            to = a["to"].i
+            dt = {1: jnp.float32, 6: jnp.int32, 7: jnp.int64, 9: jnp.bool_,
+                  10: jnp.float16, 11: jnp.float64}.get(to)
+            if dt is None:
+                raise NotImplementedError(f"Cast to data_type {to}")
+            out = get(i[0]).astype(dt)
         elif op == "Unsqueeze":
             axes = (np.asarray(env[i[1]]).tolist() if len(i) > 1
                     else list(a["axes"].ints))
@@ -403,7 +429,20 @@ def run_graph(graph: OnnxGraph, inputs: Dict[str, np.ndarray]):
             out = jnp.pad(x, cfg)
         else:
             raise NotImplementedError(f"ONNX op not implemented: {op}")
-        env[node.outputs[0]] = out
+        # bind every declared output, not just the first: a node with extra
+        # live outputs we don't compute must fail loudly, not produce NaNs
+        # downstream
+        if isinstance(out, tuple):
+            for name, val in zip(node.outputs, out):
+                if name:
+                    env[name] = val
+        else:
+            extra = [o for o in node.outputs[1:] if o]
+            if extra:
+                raise NotImplementedError(
+                    f"{op} declares unsupported extra outputs {extra}"
+                )
+            env[node.outputs[0]] = out
 
     return {o: env[o] for o in graph.outputs}
 

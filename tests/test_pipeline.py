@@ -49,16 +49,17 @@ def test_overlap_weights_schemes():
         assert (np.diff(w) >= 0).all()
 
 
-def test_plan_audio_slices_wraps_modularly():
+def test_plan_audio_slices_final_window_truncates():
     windows = [(0, 3), (2, 5)]
     slices = plan_audio_slices(windows, 5, samples_per_frame=4, total_samples=70)
-    # uniform window length: 3 latent frames -> 12 video frames -> 48 samples
-    assert len(slices[0]) == 48 and len(slices[1]) == 48
-    assert slices[0][0] == 0
-    # last window starts at latent 2 -> sample 2*4*4=32; runs past the end and
-    # wraps modularly (reference `:719` semantics)
+    # non-final window: 3 latent frames -> 12 video frames -> 48 samples
+    assert len(slices[0]) == 48
+    assert slices[0][0] == 0 and slices[0][-1] == 47
+    # final window (index_end == infer_length): truncated at the end of the
+    # audio track, NOT wrapped (`wan_inference_long_pipeline.py:718-719`)
     assert slices[1][0] == 32
-    assert slices[1][-1] == (32 + 47) % 70
+    assert slices[1][-1] == 69
+    assert len(slices[1]) == 70 - 32
 
 
 # --- tiny end-to-end ---
