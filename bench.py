@@ -164,13 +164,19 @@ def main():
     t_wstep = denoise_total / (steps * n_windows)
     vae_s = phases["vae_decode"]["total_s"]
     vae_fps = video_frames / max(vae_s, 1e-9)
+    # device->host video transfer (u8 over the remote tunnel) — measured as
+    # its own phase; part of the amortized per-sweep cost in steady state
+    xfer_s = phases.get("video_transfer", {}).get("total_s", 0.0)
+    xfer_fps = video_frames / max(xfer_s, 1e-9)
 
     video_sec = video_frames / fps
     finite_rate = video_sec / wall * 60.0
 
-    # steady state of the infinite stream at 50-step quality
+    # steady state of the infinite stream at 50-step quality (decode AND
+    # host transfer amortized per 24-frame sweep advance)
     full_steps = 50
-    sweep_s = full_steps * t_wstep + adv_video_frames / max(vae_fps, 1e-9)
+    out_cost = adv_video_frames / max(vae_fps, 1e-9) + adv_video_frames / max(xfer_fps, 1e-9)
+    sweep_s = full_steps * t_wstep + out_cost
     steady_rate = (adv_video_frames / fps) / sweep_s * 60.0
 
     # ---- TeaCache measured run ----
@@ -205,7 +211,7 @@ def main():
     # random-init over-skips; cap at a conservative 0.5 for the headline
     skip_frac = min(skip_frac_randinit, 0.5)
     eff_step = t_wstep * (1 - skip_frac) + t_skip * skip_frac
-    sweep_tc = full_steps * eff_step + adv_video_frames / max(vae_fps, 1e-9)
+    sweep_tc = full_steps * eff_step + out_cost
     steady_rate_tc = (adv_video_frames / fps) / sweep_tc * 60.0
     finite_rate_tc = video_sec / wall_tc * 60.0
 
@@ -219,6 +225,7 @@ def main():
             "dit_window_step_s": round(t_wstep, 4),
             "teacache_skip_step_s": round(t_skip, 4),
             "vae_decode_fps": round(vae_fps, 2),
+            "video_transfer_fps": round(xfer_fps, 2),
             "raw_run_wall_s": round(wall, 2),
             "finite_run_video_s_per_min": round(finite_rate, 4),
             "teacache_video_s_per_min": round(steady_rate_tc, 4),

@@ -2,12 +2,12 @@
 TPU stack.
 
 `generate()` keeps the reference signature semantics (all generation knobs,
-TeaCache toggle, seed handling, audio mux).  The Gradio UI itself is gated on
-the `gradio` package (not present in this image); `build_ui()` raises a clear
-error without it, while `generate()` works headless — which also serves as
-the programmatic serving API.  The reference's optional MCP flag
-(`app.py:36,489-496`) maps to `launch(mcp_server=True)` when gradio is
-available.
+TeaCache toggle, seed handling, audio mux) and works headless — the
+programmatic serving API.  `build_ui()` builds the three-tab UI with real
+gradio when installed, else with the first-party `utils/gradio_shim.py`
+(same Blocks subset + stdlib HTTP server), so the UI callback path is
+executable either way.  The reference's optional MCP flag
+(`app.py:36,489-496`) maps to `launch(mcp_server=True)` in both.
 """
 
 from __future__ import annotations
@@ -97,8 +97,10 @@ class AvatarService:
 
         base = os.path.join(self.output_dir, f"avatar_{seed}")
         video_path = base + ".mp4"
-        save_videos_grid(out.videos, video_path, fps=fps)
-        if ffmpeg_available():
+        # report the path actually written (PNG-frame fallback when no
+        # ffmpeg video backend exists — same truthfulness fix as the CLI)
+        video_path = save_videos_grid(out.videos, video_path, fps=fps) or video_path
+        if ffmpeg_available() and video_path.endswith(".mp4"):
             muxed = base + "_audio.mp4"
             try:
                 mux_audio(video_path, audio_path, muxed)
@@ -110,14 +112,16 @@ class AvatarService:
 
 def build_ui(service: AvatarService):
     """Gradio UI mirroring the reference tabs: generation / audio extraction /
-    vocal separation (`app.py:280-496`).  Gated on gradio."""
-    try:
-        import gradio as gr
-    except ImportError as e:
-        raise RuntimeError(
-            "gradio is not installed in this image; use AvatarService.generate() "
-            "for headless serving"
-        ) from e
+    vocal separation (`app.py:280-496`).
+
+    Uses real gradio when installed; otherwise falls back to the first-party
+    `utils/gradio_shim.py` — same Blocks API subset, stdlib HTTP server —
+    so the UI graph, its callbacks, and `launch(mcp_server=...)` are
+    executable (and tested, tests/test_app_ui.py) even in gradio-less
+    images."""
+    from stableavatar_tpu.utils.gradio_shim import ensure_gradio
+
+    gr = ensure_gradio()
 
     with gr.Blocks(title="StableAvatar-TPU") as demo:
         with gr.Tab("Avatar Generation 数字人生成"):

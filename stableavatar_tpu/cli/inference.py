@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overlap_window_length", type=int, default=15)
     p.add_argument("--overlapping_weight_scheme", type=str, default="uniform",
                    choices=["uniform", "log"])
+    p.add_argument("--sample_solver", type=str, default="euler",
+                   choices=["euler", "dpm++", "unipc"],
+                   help="flow-matching solver; the reference hardwires Euler "
+                        "in this pipeline (inference.py:491-493) but ships "
+                        "dpm++/unipc as injectable schedulers "
+                        "(wan/utils/fm_solvers*.py)")
+    p.add_argument("--solver_order", type=int, default=2, choices=[1, 2, 3])
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--fps", type=int, default=25)
     p.add_argument("--sample_rate", type=int, default=16000)
@@ -64,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--enable_teacache", action="store_true")
     p.add_argument("--teacache_threshold", type=float, default=0.1)
     p.add_argument("--num_skip_start_steps", type=int, default=5)
+    # parsed-only (parity): TeaCache state is a handful of host-side floats
+    # here (models/teacache.py) — there is nothing to offload, unlike the
+    # reference's GPU-resident residual tensors
     p.add_argument("--teacache_offload", action="store_true")
     # TPU inference fast path (utils/fastpath.py): split-pair rope layout +
     # int8 MXU attention/linears.  "qk" quantizes self-attention QK^T;
@@ -114,7 +124,10 @@ def load_models(args):
         sd = ckpt.load_torch_state_dict(os.path.join(root, "diffusion_pytorch_model.safetensors"))
         dit_params = ckpt.convert_dit(sd, cfg)
     else:
-        dit_params = init_dit(ks[0], cfg)
+        # init+cast fused in ONE jitted program: eager init over the
+        # tunneled TPU pays an RPC round-trip per primitive (minutes for
+        # the random-weight smoke fallback)
+        dit_params = jax.jit(lambda k: cast_params(init_dit(k, cfg), jnp.bfloat16))(ks[0])
     if args.transformer_path and os.path.exists(args.transformer_path):
         # fine-tuned .pt override: non-strict, size-filtered merge
         # (reference inference.py:485-490)
@@ -126,9 +139,11 @@ def load_models(args):
     if maybe("Wan2.1_VAE.pth"):
         sd = ckpt.load_torch_state_dict(os.path.join(root, "Wan2.1_VAE.pth"))
         vae_params = ckpt.convert_vae(sd, vae_cfg)
+        vae_params = cast_params(vae_params, jnp.bfloat16)
     else:
-        vae_params = init_vae(ks[1], vae_cfg)
-    vae_params = cast_params(vae_params, jnp.bfloat16)
+        vae_params = jax.jit(
+            lambda k: cast_params(init_vae(k, vae_cfg), jnp.bfloat16)
+        )(ks[1])
 
     from stableavatar_tpu.config import T5Config, CLIPConfig, Wav2Vec2Config
 
@@ -166,9 +181,11 @@ def load_models(args):
             os.path.join(root, "models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth")
         )
         clip_params = ckpt.convert_clip_visual(sd, clip_cfg)
+        clip_params = cast_params(clip_params, jnp.bfloat16)
     else:
-        clip_params = init_clip_visual(ks[3], clip_cfg)
-    clip_params = cast_params(clip_params, jnp.bfloat16)
+        clip_params = jax.jit(
+            lambda k: cast_params(init_clip_visual(k, clip_cfg), jnp.bfloat16)
+        )(ks[3])
 
     w2v_cfg = Wav2Vec2Config()
     if args.pretrained_wav2vec_path and os.path.isdir(args.pretrained_wav2vec_path):
@@ -193,9 +210,9 @@ def load_models(args):
             sd = {k.removeprefix("wav2vec2."): v for k, v in sd.items()}
             w2v_params = ckpt.convert_wav2vec2(sd, w2v_cfg)
         else:
-            w2v_params = init_wav2vec2(ks[4], w2v_cfg)
+            w2v_params = jax.jit(lambda k: init_wav2vec2(k, w2v_cfg))(ks[4])
     else:
-        w2v_params = init_wav2vec2(ks[4], w2v_cfg)
+        w2v_params = jax.jit(lambda k: init_wav2vec2(k, w2v_cfg))(ks[4])
 
     tokenizer = None
     tok_dir = root and os.path.join(root, "google/umt5-xxl")
@@ -298,6 +315,13 @@ def main(argv=None):
         mesh = make_mesh(dp=1, fsdp=fsdp, sp=sp)
 
     # validate inputs BEFORE the multi-minute model load
+    if args.enable_teacache and args.sample_solver != "euler":
+        print(
+            "error: --enable_teacache requires --sample_solver euler "
+            "(skip plans are calibrated on the Euler path)",
+            file=sys.stderr,
+        )
+        return 2
     for path, what in [
         (args.validation_reference_path, "reference image"),
         (args.validation_driven_audio_path, "driving audio"),
@@ -345,6 +369,8 @@ def main(argv=None):
             clip_length=args.clip_sample_n_frames,
             overlap_window_length=args.overlap_window_length,
             overlapping_weight_scheme=args.overlapping_weight_scheme,
+            scheduler=args.sample_solver,
+            solver_order=args.solver_order,
             fps=args.fps,
             sr=args.sample_rate,
             seed=args.seed,

@@ -74,9 +74,22 @@ def ring_attention(
     (each device sees its local [B, L/W, N, D] chunks, rope already
     applied).  Output is the local query chunk's attention over the GLOBAL
     key/value sequence.
+
+    INFERENCE-ONLY: the backward of the custom VJP raises — training shards
+    with ulysses/sp instead (`parallel/sharding.py`); fail loudly rather
+    than let autodiff silently differentiate through ppermute ring math
+    that was never validated backward.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    return _ring(q, k, v, axis_name, scale, quant)
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _ring(q, k, v, axis_name, scale, quant):
     w = jax.lax.psum(1, axis_name)
     perm = [(i, (i + 1) % w) for i in range(w)]
 
@@ -100,3 +113,17 @@ def ring_attention(
 
     _, _, o, _ = jax.lax.fori_loop(0, w - 1, body, (k, v, o0, lse0))
     return o.astype(q.dtype)
+
+
+def _ring_fwd(q, k, v, axis_name, scale, quant):
+    return _ring(q, k, v, axis_name, scale, quant), None
+
+
+def _ring_bwd(axis_name, scale, quant, res, g):
+    raise NotImplementedError(
+        "ring_attention has no VJP (inference-only); train with "
+        "attn_impl='ulysses' instead"
+    )
+
+
+_ring.defvjp(_ring_fwd, _ring_bwd)

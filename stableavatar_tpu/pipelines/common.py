@@ -49,6 +49,11 @@ class WanModels:
     rope_split: bool = False
     attn_quant: str = "none"
     attn_impl: str = "ulysses"  # "ring" for K/V-rotating long-context SP
+    # False replicates the shipped reference numerics: the 1B reference
+    # force-disables flash-attn (`wan_fantasy_transformer3d_1B.py:45-46`) and
+    # torch SDPA drops the vocal padding masks; True (default) honors them
+    # (flash-attn semantics, a quality improvement)
+    honor_vocal_k_lens: bool = True
 
 
 def encode_prompt_ids(models: WanModels, ids: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -105,7 +105,7 @@ def plan_audio_slices(
     static_argnames=(
         "dit_cfg", "windows", "overlap", "text_scale", "audio_scale",
         "rope_split", "attn_quant", "attn_impl", "blend", "temporal_ratio",
-        "vocal_lens",
+        "vocal_lens", "honor_vocal_k_lens",
     ),
     donate_argnums=(1,),
 )
@@ -131,6 +131,7 @@ def _sweep_step(
     blend: bool,
     temporal_ratio: int,
     vocal_lens,  # static tuple: true (pre-pad) feature length per window
+    honor_vocal_k_lens: bool = True,
 ):
     """One full flow-matching step across ALL sliding windows in a single
     jitted program — one device dispatch per step (a per-window Python
@@ -152,7 +153,7 @@ def _sweep_step(
             params, dit_cfg, lat3, tb, text_ctx, clip_ctx, y_full[:, :, :f],
             vocal_embs[wi][:, : vocal_lens[wi]], video_sample_n_frames=clip_len_w,
             vocal_cfg_tile=True, rope_split=rope_split, attn_quant=attn_quant,
-            attn_impl=attn_impl,
+            attn_impl=attn_impl, honor_vocal_k_lens=honor_vocal_k_lens,
         )
         noise_pred = guidance_combine_long(noise_pred, text_scale, audio_scale)
         new_lat = (
@@ -177,7 +178,7 @@ def _sweep_step(
     static_argnames=(
         "dit_cfg", "windows", "overlap", "text_scale", "audio_scale",
         "rope_split", "attn_quant", "attn_impl", "blend", "temporal_ratio",
-        "compute_flags", "vocal_lens",
+        "compute_flags", "vocal_lens", "honor_vocal_k_lens",
     ),
     donate_argnums=(1,),
 )
@@ -205,6 +206,7 @@ def _sweep_step_tc(
     temporal_ratio: int,
     compute_flags,  # static tuple[bool] per window: True=compute, False=skip
     vocal_lens,  # static tuple: true (pre-pad) feature length per window
+    honor_vocal_k_lens: bool = True,
 ):
     """TeaCache-aware single-dispatch sweep: the skip schedule is
     deterministic in e0(t) (`models/teacache.py`), so the pipeline
@@ -226,6 +228,7 @@ def _sweep_step_tc(
                 video_sample_n_frames=clip_len_w, vocal_cfg_tile=True,
                 return_residual=True, rope_split=rope_split,
                 attn_quant=attn_quant, attn_impl=attn_impl,
+                honor_vocal_k_lens=honor_vocal_k_lens,
             )
         else:
             noise_pred = dit_forward_skip(
@@ -247,6 +250,103 @@ def _sweep_step_tc(
         pred = jax.lax.dynamic_update_slice_in_dim(pred, new_lat, s, axis=2)
         prev_end = e
     return pred, residual
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "dit_cfg", "windows", "overlap", "text_scale", "audio_scale",
+        "rope_split", "attn_quant", "attn_impl", "blend", "temporal_ratio",
+        "vocal_lens", "honor_vocal_k_lens", "solver",
+    ),
+    donate_argnums=(1, 2),
+)
+def _sweep_step_ms(
+    params,
+    latents_all,
+    ms_state,  # dict of [W, 1, C, f, lh, lw] stacked per-window histories
+    coeffs,  # dict of per-step scalar coefficients (shared by every window)
+    y_full,
+    text_ctx,
+    clip_ctx,
+    vocal_embs,
+    t,
+    sigma,
+    ramp,
+    dit_cfg,
+    windows,
+    overlap: int,
+    text_scale: float,
+    audio_scale: float,
+    rope_split: bool,
+    attn_quant: str,
+    attn_impl: str,
+    blend: bool,
+    temporal_ratio: int,
+    vocal_lens,
+    honor_vocal_k_lens: bool,
+    solver: str,  # "dpm" | "unipc"
+):
+    """Single-dispatch MULTISTEP sweep (DPM++(2M) / UniPC-2).
+
+    The reference can inject any scheduler into the long pipeline and resets
+    `scheduler._step_index = None` per window
+    (`wan_inference_long_pipeline.py:715`) — but with a multistep scheduler
+    that reset leaves the solver's x0 HISTORY shared across windows (window
+    w's correction would use window w-1's data prediction).  We instead
+    carry an explicit per-window history, the mathematically-intended
+    generalization (every window is an independent trajectory on the shared
+    sigma ladder), stacked into one array so the sweep stays one device
+    dispatch per step.  Since `plan_windows` makes every window full-size,
+    the stack is rectangular.  Per-step solver structure is folded into
+    coefficient VALUES host-side (`fm_solvers.dpm_coeffs`/`unipc_coeffs`),
+    so all steps share one compiled program."""
+    from stableavatar_tpu.schedulers.fm_solvers import dpm_apply, unipc_apply
+
+    pred = jnp.zeros_like(latents_all)
+    tb = jnp.full((3,), t, dtype=jnp.float32)
+    prev_end = None
+    new_state = {k: [None] * len(windows) for k in ms_state}
+    for wi, (s, e) in enumerate(windows):
+        f = e - s
+        clip_len_w = (f - 1) * temporal_ratio + 1
+        lat_win = jax.lax.dynamic_slice_in_dim(latents_all, s, f, axis=2)
+        lat3 = jnp.concatenate([lat_win] * 3, axis=0).astype(jnp.bfloat16)
+        noise_pred = dit_forward(
+            params, dit_cfg, lat3, tb, text_ctx, clip_ctx, y_full[:, :, :f],
+            vocal_embs[wi][:, : vocal_lens[wi]], video_sample_n_frames=clip_len_w,
+            vocal_cfg_tile=True, rope_split=rope_split, attn_quant=attn_quant,
+            attn_impl=attn_impl, honor_vocal_k_lens=honor_vocal_k_lens,
+        )
+        v = guidance_combine_long(noise_pred, text_scale, audio_scale)
+        if solver == "dpm":
+            x_t, x0 = dpm_apply(
+                lat_win, v, sigma, ms_state["x0_prev"][wi],
+                ms_state["x0_prev2"][wi], **coeffs,
+            )
+            new_state["x0_prev"][wi] = x0
+            new_state["x0_prev2"][wi] = ms_state["x0_prev"][wi]
+        else:
+            x_t, x0, corrected = unipc_apply(
+                lat_win, v, sigma, ms_state["x0_prev"][wi],
+                ms_state["x0_prev2"][wi], ms_state["last_sample"][wi], **coeffs,
+            )
+            new_state["x0_prev"][wi] = x0
+            new_state["x0_prev2"][wi] = ms_state["x0_prev"][wi]
+            new_state["last_sample"][wi] = corrected
+        new_lat = x_t.astype(jnp.bfloat16)
+        if s != 0 and blend:
+            prev_tail = jax.lax.dynamic_slice_in_dim(
+                pred, prev_end - overlap, overlap, axis=2
+            )
+            head = new_lat[:, :, :overlap]
+            blended = head * ramp.astype(head.dtype) + prev_tail * (
+                1 - ramp
+            ).astype(head.dtype)
+            new_lat = jnp.concatenate([blended, new_lat[:, :, overlap:]], axis=2)
+        pred = jax.lax.dynamic_update_slice_in_dim(pred, new_lat, s, axis=2)
+        prev_end = e
+    return pred, {k: jnp.stack(vs) for k, vs in new_state.items()}
 
 
 def precompute_teacache_plan(teacache, e0_steps, n_windows: int):
@@ -301,6 +401,8 @@ def generate_long(
     clip_length: int = 81,
     overlap_window_length: int = 15,
     overlapping_weight_scheme: str = "uniform",
+    scheduler: str = "euler",  # "euler" | "dpm++" | "unipc"
+    solver_order: int = 2,
     fps: int = 25,
     sr: int = 16000,
     seed: int = 42,
@@ -370,6 +472,50 @@ def generate_long(
     windows_t = tuple(windows)
     ramp_arg = ramp if ramp is not None else jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
 
+    ms_state = None
+    co_steps = None
+    if scheduler not in ("euler", "flow"):
+        # the reference injects any scheduler into this pipeline and resets
+        # `_step_index` per window (`wan_inference_long_pipeline.py:715`);
+        # we carry an explicit per-window solver history instead (see
+        # `_sweep_step_ms`).  TeaCache skip plans are calibrated on the
+        # Euler path; combining them is out of scope (the reference never
+        # runs TeaCache in this pipeline either).
+        if teacache is not None:
+            raise ValueError(
+                "TeaCache is only supported with scheduler='euler' in the "
+                "long pipeline; disable one of them"
+            )
+        from stableavatar_tpu.schedulers.fm_solvers import dpm_coeffs, unipc_coeffs
+
+        fpb0 = windows[0][1] - windows[0][0]
+
+        def zw():
+            # distinct buffers per state entry: the sweep donates the whole
+            # state dict, and XLA rejects the same donated buffer aliased
+            # into two arguments
+            return jnp.zeros(
+                (len(windows), 1, models.vae_cfg.z_dim, fpb0, lh, lw),
+                jnp.float32,
+            )
+
+        if scheduler in ("dpm++", "dpm-solver++", "dpm"):
+            solver_kind = "dpm"
+            co_steps = [
+                dpm_coeffs(sched, i, solver_order) for i in range(sched.num_steps)
+            ]
+            ms_state = {"x0_prev": zw(), "x0_prev2": zw()}
+        elif scheduler == "unipc":
+            solver_kind = "unipc"
+            co_steps = []
+            prev_order = 1
+            for i in range(sched.num_steps):
+                co, prev_order = unipc_coeffs(sched, i, solver_order, prev_order)
+                co_steps.append(co)
+            ms_state = {"x0_prev": zw(), "x0_prev2": zw(), "last_sample": zw()}
+        else:
+            raise ValueError(f"unknown scheduler {scheduler!r}")
+
     tc_plan = None
     residual_carry = None
     if teacache is not None:
@@ -401,6 +547,7 @@ def generate_long(
         attn_impl=models.attn_impl,
         temporal_ratio=int(models.vae_cfg.temporal_compression_ratio),
         vocal_lens=vocal_lens,
+        honor_vocal_k_lens=models.honor_vocal_k_lens,
     )
 
     for i in range(sched.num_steps):
@@ -408,7 +555,13 @@ def generate_long(
         t = sched.timesteps[i]
         sigma, sigma_next = sched.sigmas[i], sched.sigmas[i + 1]
         blend = bool(i != 0 and ramp is not None)
-        if tc_plan is None:
+        if ms_state is not None:
+            latents_all, ms_state = _sweep_step_ms(
+                models.dit_params, latents_all, ms_state, co_steps[i], y_full,
+                text_ctx, clip_ctx, vocal_stacked, t, sigma, ramp_arg,
+                blend=blend, solver=solver_kind, **common,
+            )
+        elif tc_plan is None:
             latents_all = _sweep_step(
                 models.dit_params, latents_all, y_full, text_ctx, clip_ctx,
                 vocal_stacked, t, sigma, sigma_next, ramp_arg,
@@ -437,5 +590,10 @@ def generate_long(
         frames_u8 = jnp.clip(
             jnp.round((frames.astype(jnp.float32) / 2.0 + 0.5) * 255.0), 0, 255
         ).astype(jnp.uint8)
+        # force device completion with a one-pixel host read so this phase
+        # measures decode COMPUTE (block_until_ready is a no-op over
+        # remote-tunneled accelerators) and the next phase the transfer
+        np.asarray(frames_u8[0, 0, 0, 0, 0])
+    with phase("video_transfer"):
         video = np.asarray(frames_u8).astype(np.float32) / 255.0
     return LongPipelineOutput(videos=video, latents=latents)

@@ -32,7 +32,7 @@ from stableavatar_tpu.schedulers.flow_match import flow_match_timesteps
     jax.jit,
     static_argnames=(
         "dit_cfg", "clip_length", "text_scale", "audio_scale", "rope_split",
-        "attn_quant", "attn_impl",
+        "attn_quant", "attn_impl", "honor_vocal_k_lens",
     ),
     donate_argnums=(1,),
 )
@@ -53,6 +53,7 @@ def _clip_step(
     rope_split: bool = False,
     attn_quant: str = "none",
     attn_impl: str = "ulysses",
+    honor_vocal_k_lens: bool = True,
 ):
     lat3 = jnp.concatenate([latents] * 3, axis=0).astype(jnp.bfloat16)
     tb = jnp.full((3,), t, dtype=jnp.float32)
@@ -60,6 +61,7 @@ def _clip_step(
         params, dit_cfg, lat3, tb, text_ctx, clip_ctx, y, vocal_emb,
         video_sample_n_frames=clip_length, vocal_cfg_tile=True,
         rope_split=rope_split, attn_quant=attn_quant, attn_impl=attn_impl,
+        honor_vocal_k_lens=honor_vocal_k_lens,
     )
     noise_pred = guidance_combine_single(noise_pred, text_scale, audio_scale)
     new_lat = latents.astype(jnp.float32) + (sigma_next - sigma) * noise_pred
@@ -70,7 +72,7 @@ def _clip_step(
     jax.jit,
     static_argnames=(
         "dit_cfg", "clip_length", "text_scale", "audio_scale", "rope_split",
-        "attn_quant", "attn_impl",
+        "attn_quant", "attn_impl", "honor_vocal_k_lens",
     ),
 )
 def _clip_velocity(
@@ -78,6 +80,7 @@ def _clip_velocity(
     clip_length: int, text_scale: float, audio_scale: float,
     rope_split: bool = False, attn_quant: str = "none",
     attn_impl: str = "ulysses",
+    honor_vocal_k_lens: bool = True,
 ):
     """CFG-combined velocity only (for the multistep solvers)."""
     lat3 = jnp.concatenate([latents] * 3, axis=0).astype(jnp.bfloat16)
@@ -86,6 +89,7 @@ def _clip_velocity(
         params, dit_cfg, lat3, tb, text_ctx, clip_ctx, y, vocal_emb,
         video_sample_n_frames=clip_length, vocal_cfg_tile=True,
         rope_split=rope_split, attn_quant=attn_quant, attn_impl=attn_impl,
+        honor_vocal_k_lens=honor_vocal_k_lens,
     )
     return guidance_combine_single(noise_pred, text_scale, audio_scale)
 
@@ -111,6 +115,7 @@ def generate_single_clip(
     seed: int = 42,
     shift: float = 5.0,
     scheduler: str = "euler",  # "euler" | "dpm++" | "unipc"
+    solver_order: int = 2,
     output_type: str = "numpy",
 ) -> SingleClipOutput:
     ref_image = jnp.asarray(ref_image, dtype=jnp.float32)
@@ -156,6 +161,7 @@ def generate_single_clip(
                 rope_split=models.rope_split,
                 attn_quant=models.attn_quant,
                 attn_impl=models.attn_impl,
+                honor_vocal_k_lens=models.honor_vocal_k_lens,
             )
     else:
         # multistep solvers (FlowDPM++ / FlowUniPC — reference fm_solvers)
@@ -166,7 +172,7 @@ def generate_single_clip(
         )
 
         solver_cls = {"dpm++": FlowDPMSolverMultistep, "unipc": FlowUniPCMultistep}[scheduler]
-        solver = solver_cls(num_inference_steps, shift=shift)
+        solver = solver_cls(num_inference_steps, shift=shift, order=solver_order)
         state = MultistepState()
         for i in range(solver.sched.num_steps):
             v = _clip_velocity(
@@ -175,6 +181,7 @@ def generate_single_clip(
                 float(prompt_cfg_scale), float(audio_cfg_scale),
                 rope_split=models.rope_split, attn_quant=models.attn_quant,
                 attn_impl=models.attn_impl,
+                honor_vocal_k_lens=models.honor_vocal_k_lens,
             )
             lat_f, state = solver.step(v, i, latents, state)
             latents = lat_f.astype(jnp.bfloat16)

@@ -118,39 +118,77 @@ def encode_batch(models: WanModels, batch: dict, rng: np.random.Generator,
     }
 
 
+def _finished_ckpts(output_dir: str):
+    """checkpoint-<step> dirs, excluding orbax in-progress tmp dirs
+    (`<name>.orbax-checkpoint-tmp-<ts>`) so a preemption mid-write can never
+    be resumed from a partial checkpoint."""
+    return sorted(
+        (
+            d
+            for d in os.listdir(output_dir)
+            if d.startswith("checkpoint-") and "tmp" not in d
+        ),
+        key=lambda d: int(d.split("-")[1]),
+    )
+
+
 @dataclasses.dataclass
 class CheckpointManager:
     """save_state + rotation + latest-resume (reference `:1331-1362`,
-    `:1029-1052`), via orbax."""
+    `:1029-1052`), via orbax.
+
+    `save(wait=False)` is ASYNC (exceeds reference parity — it has none):
+    orbax's StandardCheckpointer copies device->host synchronously (safe
+    with the train step's donated buffers) and streams to disk in the
+    background while training continues; the next save/`wait()` joins it.
+    Finalization is atomic (orbax tmp-dir + rename), and `latest()` skips
+    unfinished tmp dirs, so kill-at-any-point resumes from the last
+    COMPLETE checkpoint (tests/test_train_loop.py kill-and-resume)."""
 
     output_dir: str
     total_limit: Optional[int] = None
+    _ckpt: object = None
 
-    def save(self, step: int, params, opt_state):
-        from stableavatar_tpu.utils.checkpoint import save_checkpoint
+    def _checkpointer(self):
+        if self._ckpt is None:
+            import orbax.checkpoint as ocp
 
+            self._ckpt = ocp.StandardCheckpointer()
+        return self._ckpt
+
+    def save(self, step: int, params, opt_state, wait: bool = True):
+        ckpt = self._checkpointer()
+        ckpt.wait_until_finished()  # join any previous async save first
+        self._rotate(keep_latest=True)
         path = os.path.join(self.output_dir, f"checkpoint-{step}")
-        save_checkpoint(path, {"params": params, "opt_state": opt_state, "step": jnp.asarray(step)})
-        self._rotate()
+        ckpt.save(
+            os.path.abspath(path),
+            {"params": params, "opt_state": opt_state, "step": jnp.asarray(step)},
+        )
+        if wait:
+            ckpt.wait_until_finished()
+            self._rotate()
         return path
 
-    def _rotate(self):
-        if self.total_limit is None:
+    def wait(self):
+        if self._ckpt is not None:
+            self._ckpt.wait_until_finished()
+            self._rotate()
+
+    def _rotate(self, keep_latest: bool = False):
+        if self.total_limit is None or not os.path.isdir(self.output_dir):
             return
-        ckpts = sorted(
-            (d for d in os.listdir(self.output_dir) if d.startswith("checkpoint-")),
-            key=lambda d: int(d.split("-")[1]),
-        )
-        while len(ckpts) > self.total_limit:
+        ckpts = _finished_ckpts(self.output_dir)
+        # when called before an async save, the newest finished checkpoint
+        # must survive until the new one is finalized
+        limit = self.total_limit if not keep_latest else max(self.total_limit, 1)
+        while len(ckpts) > limit:
             shutil.rmtree(os.path.join(self.output_dir, ckpts.pop(0)))
 
     def latest(self) -> Optional[str]:
         if not os.path.isdir(self.output_dir):
             return None
-        ckpts = sorted(
-            (d for d in os.listdir(self.output_dir) if d.startswith("checkpoint-")),
-            key=lambda d: int(d.split("-")[1]),
-        )
+        ckpts = _finished_ckpts(self.output_dir)
         return os.path.join(self.output_dir, ckpts[-1]) if ckpts else None
 
     def restore(self, template):
@@ -198,8 +236,19 @@ def train(
     seed: int = 42,
     validation_steps: Optional[int] = None,
     validation_cfg: Optional[dict] = None,
+    async_checkpointing: bool = True,
+    preemption_signals: tuple = None,
 ):
-    """Main loop (reference `main()` §3.4)."""
+    """Main loop (reference `main()` §3.4).
+
+    Beyond reference parity (it has no fault tolerance, SURVEY §5):
+    checkpoints are written asynchronously while training continues, and a
+    preemption signal (SIGTERM by default — what TPU preemption notices
+    deliver) triggers a synchronous save-and-exit so the run resumes from
+    the exact step with `resume_from_checkpoint="latest"`."""
+    import signal as _signal
+    import threading
+
     os.makedirs(output_dir, exist_ok=True)
     tx = make_optimizer(train_cfg)
     params = models.dit_params
@@ -224,28 +273,55 @@ def train(
 
     logger = MetricsLogger(output_dir)
 
+    # preemption-safe exit: a handled signal sets the flag; the loop saves a
+    # synchronous checkpoint and returns (handlers only attach on the main
+    # thread — signal module requirement)
+    preempted = {"flag": False, "signum": None}
+    if preemption_signals is None:
+        preemption_signals = (_signal.SIGTERM,)
+    old_handlers = {}
+    if threading.current_thread() is threading.main_thread():
+        def _on_preempt(signum, frame):
+            preempted["flag"] = True
+            preempted["signum"] = signum
+
+        for sig in preemption_signals:
+            old_handlers[sig] = _signal.signal(sig, _on_preempt)
+
     t0 = time.time()
-    for batch in batches:
-        if step >= max_train_steps:
-            break
-        enc = encode_batch(models, batch, rng)
-        is_clip_level = enc.pop("is_clip_level_modeling", False)
-        key, sub = jax.random.split(key)
-        params, opt_state, metrics = step_fn(
-            params, opt_state, enc, sub, jnp.asarray(step), is_clip_level
-        )
-        step += 1
-        if step % log_every == 0:
-            loss = float(metrics["loss"])
-            history.append({"step": step, "loss": loss, "time": time.time() - t0})
-            logger.log(step, {"train_loss": loss, "grad_norm": float(metrics["grad_norm"])})
-            print(f"step {step} loss {loss:.5f} gnorm {float(metrics['grad_norm']):.4f}")
-        if step % checkpointing_steps == 0:
-            cm.save(step, params, opt_state)
-        if validation_steps and validation_cfg and step % validation_steps == 0:
-            models.dit_params = params
-            log_validation(models, validation_cfg, output_dir, step)
-    logger.close()
+    try:
+        for batch in batches:
+            if step >= max_train_steps:
+                break
+            enc = encode_batch(models, batch, rng)
+            is_clip_level = enc.pop("is_clip_level_modeling", False)
+            key, sub = jax.random.split(key)
+            params, opt_state, metrics = step_fn(
+                params, opt_state, enc, sub, jnp.asarray(step), is_clip_level
+            )
+            step += 1
+            if step % log_every == 0:
+                loss = float(metrics["loss"])
+                history.append({"step": step, "loss": loss, "time": time.time() - t0})
+                logger.log(step, {"train_loss": loss, "grad_norm": float(metrics["grad_norm"])})
+                print(f"step {step} loss {loss:.5f} gnorm {float(metrics['grad_norm']):.4f}")
+            if preempted["flag"]:
+                cm.save(step, params, opt_state, wait=True)
+                print(
+                    f"[train] preemption signal {preempted['signum']} - saved "
+                    f"checkpoint-{step} and exiting for clean resume"
+                )
+                break
+            if step % checkpointing_steps == 0:
+                cm.save(step, params, opt_state, wait=not async_checkpointing)
+            if validation_steps and validation_cfg and step % validation_steps == 0:
+                models.dit_params = params
+                log_validation(models, validation_cfg, output_dir, step)
+    finally:
+        cm.wait()  # join any in-flight async save
+        for sig, h in old_handlers.items():
+            _signal.signal(sig, h)
+        logger.close()
 
     models.dit_params = params
     return params, opt_state, history

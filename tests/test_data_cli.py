@@ -113,10 +113,13 @@ def test_cli_flag_surface():
         "--teacache_threshold", "0.1",
         "--num_skip_start_steps", "5",
         "--GPU_memory_mode", "model_full_load",
+        "--sample_solver", "unipc",
+        "--solver_order", "2",
         "--seed", "42",
     ])
     assert args.ulysses_degree * args.ring_degree == 4
     assert args.fsdp_dit and args.enable_teacache
+    assert args.sample_solver == "unipc" and args.solver_order == 2
 
 
 def test_train_cli_flag_surface():
@@ -134,3 +137,67 @@ def test_train_cli_flag_surface():
         "--use_8bit_adam",
     ])
     assert args.rank == 128 and args.dp == 2 and args.use_8bit_adam
+
+
+def test_lip_geometry_mask_localizes_to_lips():
+    """The mediapipe-less fallback produces actual lip geometry (ellipse
+    pair + chroma refinement), not a box: on a synthetic face with red
+    lips it covers the lip pixels, stays inside the mouth region, and
+    excludes the rectangle's skin corners."""
+    from stableavatar_tpu.preprocess.lip_mask_extractor import lip_geometry_mask
+
+    h = w = 128
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :] = (140, 160, 200)  # BGR skin
+    # red lips: two filled half-ellipses around the lip line y=90
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cx, cy, a = 64.0, 90.0, 18.0
+    lips = ((yy <= cy) & (((xx - cx) / a) ** 2 + ((yy - cy) / 4.0) ** 2 <= 1)) | (
+        (yy > cy) & (((xx - cx) / a) ** 2 + ((yy - cy) / 6.0) ** 2 <= 1)
+    )
+    img[lips] = (90, 90, 210)  # redder than skin
+
+    mouth_box = (44, 82, 84, 100)  # detector-style box around the mouth
+    mask = lip_geometry_mask(img, mouth_box)
+
+    assert mask.shape == (h, w) and mask.dtype == np.uint8
+    on = mask > 0
+    assert on.any()
+    # localized: nothing outside a slightly padded mouth box
+    pad = np.zeros_like(on)
+    pad[78:104, 40:88] = True
+    assert not (on & ~pad).any()
+    # covers the true lip pixels well
+    overlap = (on & lips).sum() / lips.sum()
+    assert overlap > 0.7, overlap
+    # NOT a rectangle: the box's corners are skin, not lip
+    assert not on[83, 46] and not on[83, 82]
+    # chroma refinement keeps most mask pixels on actual lip chroma
+    precision = (on & lips).sum() / on.sum()
+    assert precision > 0.6, precision
+
+
+def test_lip_mask_extractor_writes_masks(tmp_path):
+    """End-to-end fallback path with a stubbed detector: frames dir in,
+    mouth-localized PNG masks out."""
+    cv2 = pytest.importorskip("cv2")
+    from stableavatar_tpu.preprocess import lip_mask_extractor as lme
+
+    frames = tmp_path / "frames"
+    outd = tmp_path / "masks"
+    frames.mkdir()
+    img = np.full((64, 64, 3), (140, 160, 200), np.uint8)
+    img[44:52, 24:40] = (90, 90, 210)
+    for i in range(2):
+        cv2.imwrite(str(frames / f"f{i}.png"), img)
+
+    orig = lme._detect_mouth_box
+    lme._detect_mouth_box = lambda img, fc, mc: (22, 42, 42, 54)
+    try:
+        n = lme.extract_lip_masks(str(frames), str(outd))
+    finally:
+        lme._detect_mouth_box = orig
+    assert n == 2
+    m = cv2.imread(str(outd / "f0.png"), cv2.IMREAD_GRAYSCALE)
+    assert m is not None and (m > 0).any()
+    assert not (m[:40] > 0).any() and not (m[56:] > 0).any()

@@ -100,8 +100,8 @@ W2V_E2E = Wav2Vec2Config(hidden_size=16, num_layers=2, num_heads=2, ffn_dim=32,
                          num_conv_pos_embedding_groups=4)
 
 
-@pytest.fixture(scope="module")
-def tiny_models():
+def make_tiny_models():
+    """Random-init tiny WanModels; shared with tests/test_app_ui.py."""
     from stableavatar_tpu.models.clip import init_clip_visual
     from stableavatar_tpu.models.dit import init_dit
     from stableavatar_tpu.models.t5 import init_t5
@@ -134,6 +134,11 @@ def tiny_models():
         wav2vec_cfg=W2V_E2E,
         tokenizer=tok,
     )
+
+
+@pytest.fixture(scope="module")
+def tiny_models():
+    return make_tiny_models()
 
 
 def test_generate_long_end_to_end(tiny_models):
@@ -356,3 +361,103 @@ def test_precompute_teacache_plan_matches_controller_and_canonicalizes():
     actual_skips = sum(1 for f in plan for x in f if not x)
     assert tc.skipped_calls == actual_skips, (tc.skipped_calls, actual_skips)
     assert tc.total_calls == steps * windows
+
+
+def test_generate_long_multistep_matches_per_window_oracle(tiny_models):
+    """`generate_long(scheduler=...)`'s fused single-dispatch multistep sweep
+    (`_sweep_step_ms`) == an independent per-window python loop driving the
+    solver CLASSES (themselves step-parity-proven vs the reference's
+    vendored schedulers in test_solver_parity.py) with the reference's
+    blend/write orchestration (`wan_inference_long_pipeline.py:703-792`)."""
+    from stableavatar_tpu.models.dit import dit_forward
+    from stableavatar_tpu.pipelines.common import (
+        encode_prompts,
+        extract_vocal_features,
+        guidance_combine_long,
+        prepare_conditioning,
+    )
+    from stableavatar_tpu.schedulers.flow_match import flow_match_timesteps
+    from stableavatar_tpu.schedulers.fm_solvers import (
+        FlowDPMSolverMultistep,
+        FlowUniPCMultistep,
+        MultistepState,
+    )
+
+    tiny_models.teacache = None
+    rng = np.random.default_rng(11)
+    ref = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    wav = rng.standard_normal(26 * 640).astype(np.float32) * 0.1
+    steps, clip_length, overlap = 4, 9, 1
+    infer_length, fpb = 7, 3  # 26 frames -> 7 latents; windows (0,3),(2,5),(4,7)
+    noise = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(5), (1, 4, infer_length, 8, 8)),
+        np.float32,
+    )
+
+    for sched_name, order, cls in (
+        ("dpm++", 2, FlowDPMSolverMultistep),
+        ("dpm++", 3, FlowDPMSolverMultistep),
+        ("unipc", 2, FlowUniPCMultistep),
+    ):
+        out = generate_long(
+            tiny_models, ref_image=ref, vocal_waveform=wav, prompt="talk",
+            negative_prompt="", num_inference_steps=steps,
+            text_guide_scale=3.0, audio_guide_scale=5.0,
+            clip_length=clip_length, overlap_window_length=overlap,
+            scheduler=sched_name, solver_order=order, output_type="latent",
+            initial_latents=noise,
+        )
+        got = np.asarray(out.latents, np.float32)
+
+        sched = flow_match_timesteps(steps, shift=5.0)
+        solver = cls(steps, shift=5.0, order=order)
+        text_ctx = encode_prompts(tiny_models, "talk", "")
+        clip_ctx, y_full = prepare_conditioning(
+            tiny_models, jnp.asarray(ref), clip_length, cfg_batch=3
+        )
+        windows = plan_windows(infer_length, fpb, overlap)
+        assert windows == [(0, 3), (2, 5), (4, 7)]
+        audio_slices = plan_audio_slices(windows, infer_length, 640, len(wav))
+        vocal_embs = [
+            extract_vocal_features(tiny_models, wav[idx]) for idx in audio_slices
+        ]
+        ramp = jnp.asarray(overlap_weights(overlap))[None, None, :, None, None]
+        states = [MultistepState() for _ in windows]
+        lat_all = jnp.asarray(noise).astype(jnp.bfloat16)
+        for i in range(steps):
+            t = sched.timesteps[i]
+            pred = jnp.zeros_like(lat_all)
+            prev_end = None
+            for wi, (s, e) in enumerate(windows):
+                f = e - s
+                lat_win = lat_all[:, :, s:e]
+                lat3 = jnp.concatenate([lat_win] * 3, 0).astype(jnp.bfloat16)
+                tb = jnp.full((3,), t, jnp.float32)
+                raw = dit_forward(
+                    tiny_models.dit_params, tiny_models.dit_cfg, lat3, tb,
+                    text_ctx, clip_ctx, y_full[:, :, :f], vocal_embs[wi],
+                    video_sample_n_frames=(f - 1) * 4 + 1, vocal_cfg_tile=True,
+                )
+                v = guidance_combine_long(raw, 3.0, 5.0)
+                x_t, states[wi] = solver.step(
+                    v, i, lat_win.astype(jnp.float32), states[wi]
+                )
+                new_lat = x_t.astype(jnp.bfloat16)
+                if s != 0 and i != 0:
+                    head = new_lat[:, :, :overlap]
+                    prev_tail = pred[:, :, prev_end - overlap : prev_end]
+                    blended = head * ramp.astype(head.dtype) + prev_tail * (
+                        1 - ramp
+                    ).astype(head.dtype)
+                    new_lat = jnp.concatenate(
+                        [blended, new_lat[:, :, overlap:]], axis=2
+                    )
+                pred = pred.at[:, :, s:e].set(new_lat)
+                prev_end = e
+            lat_all = pred
+        want = np.asarray(lat_all.astype(jnp.float32), np.float32)
+        np.testing.assert_allclose(
+            got, want, atol=2e-2, rtol=0,
+            err_msg=f"{sched_name} order={order} sweep != per-window oracle",
+        )
+        assert np.isfinite(got).all()

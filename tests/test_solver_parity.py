@@ -65,16 +65,20 @@ def _run_ours(solver, sample0, steps):
     return traj
 
 
-@pytest.mark.parametrize("steps", [10, 20])
-def test_dpm_solver_matches_reference(ref_modules, steps):
+@pytest.mark.parametrize(
+    "steps,order",
+    [(10, 2), (20, 2), (10, 3), (20, 3)],  # 10 (<15) exercises the
+    # lower_order_second drop at the second-to-last step; 20 does not
+)
+def test_dpm_solver_matches_reference(ref_modules, steps, order):
     fm, _ = ref_modules
     from stableavatar_tpu.schedulers.fm_solvers import FlowDPMSolverMultistep
 
-    ref = fm.FlowDPMSolverMultistepScheduler(shift=5.0)
+    ref = fm.FlowDPMSolverMultistepScheduler(shift=5.0, solver_order=order)
     ref.set_timesteps(steps)
     sigmas = ref.sigmas.numpy()
 
-    ours = FlowDPMSolverMultistep(steps, sigmas=sigmas)
+    ours = FlowDPMSolverMultistep(steps, sigmas=sigmas, order=order)
     np.testing.assert_allclose(
         np.asarray(ours.sigmas), sigmas, rtol=1e-6, atol=1e-7
     )

@@ -196,3 +196,71 @@ def test_conditioning_dropouts_fire_with_reference_probabilities():
         for _ in range(50):
             enc = encode_batch(models, batch, rng, train_mode="normal")
             assert np.asarray(enc["inpaint_latents"])[0, 0].max() == 1.0
+
+
+def test_async_checkpointing_and_rotation(tmp_path):
+    """Async saves finalize atomically, rotation skips in-flight tmp dirs,
+    and the restored tree is exact."""
+    from stableavatar_tpu.train.loop import CheckpointManager
+
+    out = str(tmp_path / "async_ckpt")
+    os.makedirs(out)
+    cm = CheckpointManager(out, total_limit=1)
+    p1 = {"w": jnp.arange(8, dtype=jnp.float32)}
+    o1 = {"m": jnp.zeros(8)}
+    cm.save(1, p1, o1, wait=False)
+    p2 = {"w": jnp.arange(8, dtype=jnp.float32) * 2}
+    cm.save(2, p2, o1, wait=False)  # joins save 1 first
+    cm.wait()
+    assert os.path.basename(cm.latest()) == "checkpoint-2"
+    # rotation kept only the newest finished checkpoint
+    names = [d for d in os.listdir(out) if d.startswith("checkpoint-")]
+    assert names == ["checkpoint-2"], names
+    restored = cm.restore({"params": p2, "opt_state": o1, "step": jnp.asarray(0)})
+    np.testing.assert_array_equal(restored["params"]["w"], np.asarray(p2["w"]))
+    assert int(restored["step"]) == 2
+
+
+def test_preemption_kill_and_resume(tiny_models, tmp_path):
+    """SIGTERM mid-run -> synchronous checkpoint at the current step + clean
+    exit; a second train() with resume_from_checkpoint='latest' continues
+    from that exact step (fault tolerance the reference does not have)."""
+    import signal
+
+    from stableavatar_tpu.train.loop import train
+
+    tc = TrainConfig(remat=False, video_sample_n_frames=9, learning_rate=1e-4)
+    out_dir = str(tmp_path / "preempt_run")
+
+    def batches_with_preemption(n, kill_at):
+        for i, b in enumerate(_raw_batches(n)):
+            if i == kill_at:
+                os.kill(os.getpid(), signal.SIGTERM)  # delivered before yield returns
+            yield b
+
+    params1, _, _ = train(
+        tiny_models,
+        batches_with_preemption(6, kill_at=2),
+        tc,
+        output_dir=out_dir,
+        max_train_steps=6,
+        checkpointing_steps=100,  # never reached on schedule
+        log_every=1,
+        resume_from_checkpoint=None,
+    )
+    # the preemption save landed at step 3 (signal during batch index 2)
+    ckpts = [d for d in os.listdir(out_dir) if d.startswith("checkpoint-")]
+    assert ckpts == ["checkpoint-3"], ckpts
+
+    params2, _, history = train(
+        tiny_models,
+        _raw_batches(6),
+        tc,
+        output_dir=out_dir,
+        max_train_steps=5,
+        checkpointing_steps=100,
+        log_every=1,
+        resume_from_checkpoint="latest",
+    )
+    # resumed AT step 3: only steps 4 and 5 ran
+    assert [h["step"] for h in history] == [4, 5]
