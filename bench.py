@@ -48,6 +48,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: without it a fresh bench process can leak stray
+# compiles into measured phases (round-2's "VAE decode 1.94 fps" was exactly
+# this — warm decode measures 22 fps, docs/PERF.md)
+jax.config.update("jax_compilation_cache_dir", "/tmp/stableavatar_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
 A100_REF_VIDEO_SEC_PER_MIN = 0.34  # estimated reference throughput (see above)
 
 

@@ -24,7 +24,11 @@ Output: one JSON line per finding (BENCH-style).
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -63,55 +67,86 @@ def budget():
     return out
 
 
-def on_chip_probe(max_layers: int):
-    """Find the deepest int8-weight truncation that completes a window step."""
+def try_depth_main(n_layers: int):
+    """Single-depth worker (run in a SUBPROCESS: an OOM at one depth can
+    poison the device client for later allocations, so each depth gets a
+    fresh process).  Prints `DEPTH_OK <seconds>` or raises."""
     import dataclasses
 
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/stableavatar_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     from stableavatar_tpu.config import WAN_14B
     from stableavatar_tpu.models.dit import dit_forward, init_dit
     from stableavatar_tpu.utils.fastpath import prepare_fast_params
+
+    size, frames = 512, 21
+    cfg = dataclasses.replace(WAN_14B, num_layers=n_layers)
+    # materialize the FINAL int8-storage structure directly (zeros/ones in
+    # the target dtypes): a fused init+quantize jit holds the bf16 tree and
+    # the int8 tree live simultaneously (~1.5x the steady-state bytes) and
+    # would OOM ~12 layers — the steady state is what we are probing.
+    # Values don't affect step timing; RMS-norm eps keeps zeros finite.
+    shapes = jax.eval_shape(
+        lambda k: prepare_fast_params(init_dit(k, cfg), cfg, quant=True),
+        jax.random.PRNGKey(0),
+    )
+
+    def materialize(leaf):
+        if leaf.dtype == jnp.int8:
+            return jnp.zeros(leaf.shape, jnp.int8)
+        if leaf.dtype == jnp.float32:
+            return jnp.full(leaf.shape, 0.01, jnp.float32)
+        return jnp.zeros(leaf.shape, leaf.dtype)
+
+    params = jax.jit(lambda: jax.tree.map(materialize, shapes))()
+    jax.block_until_ready(jax.tree.leaves(params)[0])
+    lat = jnp.zeros((3, 16, frames, size // 8, size // 8), jnp.bfloat16)
+    y = jnp.zeros((3, 20, frames, size // 8, size // 8), jnp.bfloat16)
+    text = jnp.zeros((3, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    clip = jnp.zeros((3, cfg.clip_tokens, cfg.clip_dim), jnp.bfloat16)
+    vocal = jnp.zeros((1, 340, cfg.audio_in_dim), jnp.bfloat16)
+    t = jnp.full((3,), 500.0, jnp.float32)
+
+    f = jax.jit(
+        lambda p, l: dit_forward(
+            p, cfg, l, t, text, clip, y, vocal,
+            video_sample_n_frames=(frames - 1) * 4 + 1,
+            vocal_cfg_tile=True, rope_split=True, attn_quant="qk",
+        )
+    )
+    out = f(params, lat)
+    np.asarray(out[0, 0, 0, 0, 0])  # force (tunnel-safe)
+    t0 = time.perf_counter()
+    out = f(params, lat)
+    np.asarray(out[0, 0, 0, 0, 0])
+    print(f"DEPTH_OK {time.perf_counter() - t0:.4f}", flush=True)
+
+
+def on_chip_probe(max_layers: int):
+    """Find the deepest int8-weight truncation that completes a window step."""
+    import subprocess
 
     size, frames = 512, 21
     lh = lw = size // 16  # latent/2 (patch)
     tokens = frames * lh * lw
 
     def try_depth(n_layers):
-        cfg = dataclasses.replace(WAN_14B, num_layers=n_layers)
-        try:
-            params = jax.jit(
-                lambda k: prepare_fast_params(init_dit(k, cfg), cfg, quant=True)
-            )(jax.random.PRNGKey(0))
-            jax.block_until_ready(jax.tree.leaves(params)[0])
-            lat = jnp.zeros((3, 16, frames, size // 8, size // 8), jnp.bfloat16)
-            y = jnp.zeros((3, 20, frames, size // 8, size // 8), jnp.bfloat16)
-            text = jnp.zeros((3, cfg.text_len, cfg.text_dim), jnp.bfloat16)
-            clip = jnp.zeros((3, cfg.clip_tokens, cfg.clip_dim), jnp.bfloat16)
-            vocal = jnp.zeros((1, 340, cfg.audio_in_dim), jnp.bfloat16)
-            t = jnp.full((3,), 500.0, jnp.float32)
-
-            f = jax.jit(
-                lambda p, l: dit_forward(
-                    p, cfg, l, t, text, clip, y, vocal,
-                    video_sample_n_frames=(frames - 1) * 4 + 1,
-                    vocal_cfg_tile=True, rope_split=True, attn_quant="qk",
-                )
-            )
-            out = f(params, lat)
-            np.asarray(out[0, 0, 0, 0, 0])  # force (tunnel-safe)
-            t0 = time.perf_counter()
-            out = f(params, lat)
-            np.asarray(out[0, 0, 0, 0, 0])
-            dt = time.perf_counter() - t0
-            del params, out
-            return dt
-        except Exception as e:  # noqa: BLE001 - OOM variants differ by backend
-            msg = str(e)
-            if "RESOURCE_EXHAUSTED" in msg or "OOM" in msg or "memory" in msg.lower():
-                return None
-            raise
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--depth", str(n_layers)],
+            capture_output=True, text=True, timeout=1800,
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("DEPTH_OK"):
+                return float(line.split()[1])
+        msg = r.stdout + r.stderr
+        if ("RESOURCE_EXHAUSTED" in msg or "OOM" in msg
+                or "out of memory" in msg.lower() or "memory" in msg.lower()):
+            print(f"# depth {n_layers}: OOM", flush=True)
+            return None
+        raise RuntimeError(f"depth {n_layers} failed non-OOM:\n{msg[-2000:]}")
 
     lo_fit, hi_fail = 0, max_layers + 1
     timings = {}
@@ -147,8 +182,11 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--on-chip", action="store_true")
     ap.add_argument("--max-layers", type=int, default=40)
+    ap.add_argument("--depth", type=int, default=None)  # subprocess worker
     args = ap.parse_args()
-    if args.on_chip:
+    if args.depth is not None:
+        try_depth_main(args.depth)
+    elif args.on_chip:
         on_chip_probe(args.max_layers)
     else:
         budget()

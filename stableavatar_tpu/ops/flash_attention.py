@@ -52,6 +52,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # log2(e)
+LN2 = 0.6931471805599453
+
+# exp2-based online softmax: the VPU exponential unit is base-2; computing
+# softmax in the log2 domain (log2(e) pre-folded into the logit scale, one
+# multiply saved per [BQ, BK] cell, exp -> exp2) shaves VPU work off the
+# non-MXU-overlapped tail.  LSE converts back to natural log at finalize so
+# backward/ring consumers are unchanged.  Measured on-chip before enabling.
+EXP2_SOFTMAX = True
 
 
 # ---------------------------------------------------------------------------
@@ -120,6 +129,8 @@ def _fwd_body(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    # exp2 mode: log2(e) is folded into `scale` by the caller — s lives in
+    # the log2 domain from here on, saving one [BQ, BK] multiply per cell
     s = s * scale
 
     if need_mask:
@@ -128,13 +139,14 @@ def _fwd_body(
         col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < klen, s, NEG_INF)
 
+    exp = jnp.exp2 if EXP2_SOFTMAX else jnp.exp
     m_prev = m_ref[:, :1]
     l_prev = l_ref[:, :1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    correction = jnp.exp(m_prev - m_new)
+    correction = exp(m_prev - m_new)
 
-    p = jnp.exp(s - m_new)
+    p = exp(s - m_new)
     l_new = correction * l_prev + jnp.sum(p, axis=1, keepdims=True)
     acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -148,8 +160,11 @@ def _fwd_body(
         l = jnp.maximum(l_ref[:, :1], 1e-30)
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
         if lse_ref is not None:
-            # TPU blocks need lane-aligned outputs: broadcast over 128 lanes
-            lse_ref[0] = jnp.broadcast_to(m_ref[:, :1] + jnp.log(l), lse_ref.shape[1:])
+            # TPU blocks need lane-aligned outputs: broadcast over 128 lanes.
+            # exp2 mode: m is base-2 — convert so LSE is ALWAYS natural-log
+            # (backward + ring partial merging contract)
+            m_nat = m_ref[:, :1] * LN2 if EXP2_SOFTMAX else m_ref[:, :1]
+            lse_ref[0] = jnp.broadcast_to(m_nat + jnp.log(l), lse_ref.shape[1:])
 
 
 def _make_fwd_kernel(apply_rope, with_lse, **kw):
@@ -206,7 +221,7 @@ def _flash_fwd_impl(
     kernel = _make_fwd_kernel(
         apply_rope=rope is not None,
         with_lse=with_lse,
-        scale=scale,
+        scale=scale * LOG2E if EXP2_SOFTMAX else scale,
         block_k=block_k,
         num_heads=n,
         need_mask=need_mask,
@@ -298,6 +313,7 @@ def _int8_fwd_body(
     num_heads: int,
     need_mask: bool,
     quant_pv: bool,
+    v_int8: bool = False,
 ):
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -313,6 +329,8 @@ def _int8_fwd_body(
     # norm-preserving, so ONE scalar scale per (batch, head) slab loses
     # almost nothing vs per-token scales — and a scalar multiply fuses into
     # the int32->f32 convert pass instead of costing two [BQ, BK] VPU sweeps
+    # exp2 mode: log2(e) is pre-folded into sqk by the caller (free — it is
+    # a host-side scalar product), so s is in the log2 domain
     s = jax.lax.dot_general(
         q8_ref[0], k8t_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -325,27 +343,40 @@ def _int8_fwd_body(
         col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < klen, s, NEG_INF)
 
+    exp = jnp.exp2 if EXP2_SOFTMAX else jnp.exp
     m_prev = m_ref[:, :1]
     l_prev = l_ref[:, :1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    correction = jnp.exp(m_prev - m_new)
+    correction = exp(m_prev - m_new)
 
     if quant_pv:
         # P rescaled to its per-row block max so the int8 error tracks each
         # block's true softmax mass; V per-channel (pre-quantized), its scale
         # applied once at finalize
-        p_rel = jnp.exp(s - m_cur)  # rowmax exactly 1
+        p_rel = exp(s - m_cur)  # rowmax exactly 1
         p8 = jnp.clip(jnp.round(p_rel * 127.0), 0.0, 127.0).astype(jnp.int8)
         pv = jax.lax.dot_general(
             p8, v_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
-        factor = jnp.exp(m_cur - m_new)  # [BQ, 1]
+        factor = exp(m_cur - m_new)  # [BQ, 1]
         acc_ref[:] = acc_ref[:] * correction + pv * (factor * (1.0 / 127.0))
         l_new = correction * l_prev + jnp.sum(p_rel, axis=1, keepdims=True) * factor
+    elif v_int8:
+        # V streamed as int8 (halves V HBM traffic), converted to bf16 in
+        # VMEM for the PV dot; the per-channel scale is applied ONCE at
+        # finalize (out of the k-block loop).  P stays full precision —
+        # unlike quant_pv there is no in-cell P quantization VPU cost.
+        p = exp(s - m_new)
+        l_new = correction * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v_ref[0].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     else:
-        p = jnp.exp(s - m_new)
+        p = exp(s - m_new)
         l_new = correction * l_prev + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -358,20 +389,21 @@ def _int8_fwd_body(
     def _finalize():
         l = jnp.maximum(l_ref[:, :1], 1e-30)
         out = acc_ref[:] / l
-        if quant_pv:
+        if quant_pv or v_int8:
             out = out * sv_ref[0]
         o_ref[0] = out.astype(o_ref.dtype)
         if lse_ref is not None:
-            lse_ref[0] = jnp.broadcast_to(m_ref[:, :1] + jnp.log(l), lse_ref.shape[1:])
+            m_nat = m_ref[:, :1] * LN2 if EXP2_SOFTMAX else m_ref[:, :1]
+            lse_ref[0] = jnp.broadcast_to(m_nat + jnp.log(l), lse_ref.shape[1:])
 
 
-def _make_int8_kernel(quant_pv, with_lse, **kw):
+def _make_int8_kernel(quant_pv, v_int8, with_lse, **kw):
     def kernel(*refs):
         i = 2  # refs[0]=klens, refs[1]=sqk (scalar prefetch)
         q8_ref, k8t_ref, v_ref = refs[i : i + 3]
         i += 3
         sv_ref = None
-        if quant_pv:
+        if quant_pv or v_int8:
             sv_ref = refs[i]
             i += 1
         o_ref = refs[i]
@@ -383,7 +415,8 @@ def _make_int8_kernel(quant_pv, with_lse, **kw):
         acc_ref, m_ref, l_ref = refs[i : i + 3]
         _int8_fwd_body(
             refs[0], refs[1], q8_ref, k8t_ref, v_ref, sv_ref, o_ref,
-            lse_ref, acc_ref, m_ref, l_ref, quant_pv=quant_pv, **kw,
+            lse_ref, acc_ref, m_ref, l_ref, quant_pv=quant_pv,
+            v_int8=v_int8, **kw,
         )
 
     return kernel
@@ -400,10 +433,13 @@ def _quant_slab(x):
 
 
 def _flash_int8_impl(
-    q, k, v, k_lens, rope, scale, block_q, block_k, quant_pv, with_lse=False
+    q, k, v, k_lens, rope, scale, block_q, block_k, quant_pv,
+    with_lse=False, v_int8=False,
 ):
     """int8 forward: rope + per-slab quantization as fused XLA prep, then
-    the int8 kernel.  q/k [B, L, N, D] (split-pair layout when rope given)."""
+    the int8 kernel.  q/k [B, L, N, D] (split-pair layout when rope given).
+    v_int8 streams V as int8 + per-channel scale (halved V HBM traffic,
+    bf16 PV dot in-kernel) without quantizing P."""
     from stableavatar_tpu.ops.rope import rope_apply_split
 
     b, lq, n, d = q.shape
@@ -416,7 +452,8 @@ def _flash_int8_impl(
         kf = rope_apply_split(kf, rope)
     q8, sq = _quant_slab(qf)
     k8, sk = _quant_slab(kf)
-    sqk = (sq * sk * scale).reshape(b * n)  # [B*N] scalar per grid slab
+    eff_scale = scale * LOG2E if EXP2_SOFTMAX else scale
+    sqk = (sq * sk * eff_scale).reshape(b * n)  # [B*N] scalar per grid slab
 
     pad_q = (-lq) % block_q
     pad_k = (-lk) % block_k
@@ -438,7 +475,7 @@ def _flash_int8_impl(
         pl.BlockSpec((1, d, block_k), lambda bh, iq, ik, *_: (bh, 0, ik)),
     ]
 
-    if quant_pv:
+    if quant_pv or v_int8:
         vf = v.astype(jnp.float32)
         sv = jnp.maximum(
             jnp.max(jnp.abs(vf), axis=1, keepdims=True) * (1.0 / 127.0), 1e-10
@@ -471,6 +508,7 @@ def _flash_int8_impl(
 
     kernel = _make_int8_kernel(
         quant_pv=quant_pv,
+        v_int8=v_int8,
         with_lse=with_lse,
         block_k=block_k,
         num_heads=n,
@@ -551,14 +589,19 @@ def _bwd_dkdv_body(
     lse = lse_ref[0][:, :1]  # [BQ, 1]
     delta = delta_ref[0][:, :1]
 
+    # log2-domain logits (scale*log2e folded into one multiply) + exp2:
+    # saves a [BQ, BK] VPU multiply per cell vs natural exp
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [BQ, BK]
+    ) * (scale * LOG2E if EXP2_SOFTMAX else scale)  # [BQ, BK]
     b = pl.program_id(0) // num_heads
     klen = klens_ref[b]
     col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < klen, s, NEG_INF)
-    p = jnp.exp(s - lse)  # softmax probs (0 for masked / padded rows)
+    if EXP2_SOFTMAX:
+        p = jnp.exp2(s - lse * LOG2E)  # lse is natural-log; [BQ, 1] convert
+    else:
+        p = jnp.exp(s - lse)  # softmax probs (0 for masked / padded rows)
     p = jnp.where(lse > NEG_INF / 2, p, 0.0)  # guard degenerate rows
 
     dv_acc[:] += jax.lax.dot_general(
@@ -621,12 +664,15 @@ def _bwd_dq_body(
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    ) * (scale * LOG2E if EXP2_SOFTMAX else scale)
     b = pl.program_id(0) // num_heads
     klen = klens_ref[b]
     col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < klen, s, NEG_INF)
-    p = jnp.exp(s - lse)
+    if EXP2_SOFTMAX:
+        p = jnp.exp2(s - lse * LOG2E)
+    else:
+        p = jnp.exp(s - lse)
     p = jnp.where(lse > NEG_INF / 2, p, 0.0)
 
     dp = jax.lax.dot_general(
@@ -816,8 +862,10 @@ def flash_attention(
 
     rope: optional packed [L, D] cos||sin table (`ops/rope.py:pack_split`) —
       q/k must then be in split-pair channel layout (pre-permuted weights).
-    quant: "none" | "qk" | "qkpv" — int8 MXU fast paths (inference only; the
-      quantized paths are not differentiable).
+    quant: "none" | "qk" | "qkv" | "qkpv" — int8 MXU fast paths (inference
+      only; the quantized paths are not differentiable).  "qkv" additionally
+      streams V as int8 (+ per-channel scale applied at finalize) without
+      quantizing P.
     Default blocks are per-path v5e sweep winners (/tmp probe scripts,
     docs/PERF.md): int8 primal 1536x1536 (53.6 vs 58.1 ms/layer at 1024²);
     bf16 keeps 1024² because the same blocks feed the backward kernels,
@@ -838,7 +886,7 @@ def flash_attention(
     if quant != "none":
         out, _ = _flash_int8_impl(
             q, k, v, k_lens, rope, float(scale), block_q, block_k,
-            quant_pv=quant == "qkpv",
+            quant_pv=quant == "qkpv", v_int8=quant == "qkv",
         )
         return out
     need_mask = (k_lens is not None) or (lk % block_k != 0)
@@ -875,7 +923,7 @@ def flash_attention_with_stats(
     if quant != "none":
         out, lse = _flash_int8_impl(
             q, k, v, k_lens, rope, float(scale), block_q, block_k,
-            quant_pv=quant == "qkpv", with_lse=True,
+            quant_pv=quant == "qkpv", v_int8=quant == "qkv", with_lse=True,
         )
     else:
         need_mask = (k_lens is not None) or (lk % block_k != 0)

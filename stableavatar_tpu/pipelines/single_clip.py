@@ -117,6 +117,8 @@ def generate_single_clip(
     scheduler: str = "euler",  # "euler" | "dpm++" | "unipc"
     solver_order: int = 2,
     output_type: str = "numpy",
+    initial_latents=None,  # [1, 16, Tl, h, w] noise override (parity harness)
+    step_callback=None,  # called (step_index, post-step latents f32) per step
 ) -> SingleClipOutput:
     ref_image = jnp.asarray(ref_image, dtype=jnp.float32)
     h_img, w_img = ref_image.shape[-2:]
@@ -126,10 +128,13 @@ def generate_single_clip(
 
     lh = h_img // models.vae_cfg.spatial_compression_ratio
     lw = w_img // models.vae_cfg.spatial_compression_ratio
-    key = jax.random.PRNGKey(seed)
-    latents = jax.random.normal(
-        key, (1, models.vae_cfg.z_dim, tl, lh, lw), dtype=jnp.float32
-    ).astype(jnp.bfloat16)
+    if initial_latents is not None:
+        latents = jnp.asarray(initial_latents, jnp.float32).astype(jnp.bfloat16)
+    else:
+        key = jax.random.PRNGKey(seed)
+        latents = jax.random.normal(
+            key, (1, models.vae_cfg.z_dim, tl, lh, lw), dtype=jnp.float32
+        ).astype(jnp.bfloat16)
 
     if text_ctx is None:
         # CFG triple [neg, pos, pos] (wan_inference_pipeline_fantasy.py:565)
@@ -163,6 +168,8 @@ def generate_single_clip(
                 attn_impl=models.attn_impl,
                 honor_vocal_k_lens=models.honor_vocal_k_lens,
             )
+            if step_callback is not None:
+                step_callback(i, np.asarray(latents, np.float32))
     else:
         # multistep solvers (FlowDPM++ / FlowUniPC — reference fm_solvers)
         from stableavatar_tpu.schedulers.fm_solvers import (
@@ -185,6 +192,8 @@ def generate_single_clip(
             )
             lat_f, state = solver.step(v, i, latents, state)
             latents = lat_f.astype(jnp.bfloat16)
+            if step_callback is not None:
+                step_callback(i, np.asarray(latents, np.float32))
 
     lat_f32 = latents.astype(jnp.float32)
     if output_type == "latent":

@@ -242,6 +242,18 @@ def ensure_diffusers():
         def config(self):
             return getattr(self, "_internal_dict", FrozenDict())
 
+        def __getattr__(self, name):
+            # real diffusers resolves direct config-attribute access (e.g.
+            # `vae.spacial_compression_ratio`, hit by
+            # wan_inference_pipeline_fantasy.py:188-193) with a deprecation
+            # warning; reproduce the fallback
+            d = self.__dict__.get("_internal_dict")
+            if d is not None and name in d:
+                return d[name]
+            raise AttributeError(
+                f"'{type(self).__name__}' object has no attribute '{name}'"
+            )
+
         @classmethod
         def from_config(cls, config, **kwargs):
             cfg = dict(config)
@@ -249,6 +261,17 @@ def ensure_diffusers():
             return cls(**cfg)
 
     class ModelMixin(torch.nn.Module):
+        def __getattr__(self, name):
+            # nn.Module.__getattr__ wins the MRO over ConfigMixin's; real
+            # diffusers' ModelMixin chains to the config fallback — mirror it
+            try:
+                return super().__getattr__(name)
+            except AttributeError:
+                d = self.__dict__.get("_internal_dict")
+                if d is not None and name in d:
+                    return d[name]
+                raise
+
         @property
         def dtype(self):
             try:

@@ -428,6 +428,160 @@ def test_long_pipeline_step_parity(stacks, tmp_path):
     assert d_video < 0.15, f"decoded video diff {d_video}"
 
 
+# the reference fantasy pipeline never passes video_sample_n_frames to the
+# transformer (`wan_inference_pipeline_fantasy.py:694-703`), so the vocal
+# projector always windows for the DEFAULT 81 frames and crashes for any
+# other num_frames — its own validation asserts num_frames == 81
+# (`train_1B_square.py:222-224`).  Parity therefore runs at 81.
+SC_LEN = 81
+
+
+def _run_reference_single_clip(pipe_long, image, wav, noise, steps=STEPS,
+                               prompt_cfg=2.5, audio_cfg=3.5):
+    """Run the ACTUAL reference fantasy single-clip pipeline
+    (`wan_inference_pipeline_fantasy.py:478-741`) assembled from the same
+    tiny modules as the long pipeline, capturing every transformer input
+    (row 0 of the CFG triple), the final latents and the decoded video.
+
+    Inputs follow the reference validation recipe
+    (`train_1B_square.py:235-261` + `wan/utils/utils.py:190-227`): video =
+    first frame tiled, mask 0 at frame 0 / 255 after, clip_image as PIL,
+    vocal features precomputed with Wav2Vec2Processor+Wav2Vec2Model, the
+    pipeline cats [0,0,v] (`:675`) and the transformer keeps only the last
+    row and tiles [0,v,v] (`wan_fantasy_transformer3d_1B.py:1004-1007`).
+
+    Deviation note: the production recipe feeds `video` as a 0..255 uint8
+    tensor, which diffusers' VaeImageProcessor normalizes to [-1,509] (its
+    out-of-range guard only trips on min<0) — conditioning latents are then
+    computed on 255x-scaled pixels.  We feed [0,1] floats so preprocess
+    yields the [-1,1] the models were trained on; our CLI normalizes
+    reference images to [-1,1] always.
+    """
+    import torch as _torch
+    from PIL import Image
+    from transformers import Wav2Vec2FeatureExtractor
+
+    from stableavatar_tpu.utils.diffusers_shim import ensure_diffusers
+
+    diffusers_mod = ensure_diffusers()
+    from wan.pipeline.wan_inference_pipeline_fantasy import WanI2VFantasyPipeline
+
+    sched = diffusers_mod.FlowMatchEulerDiscreteScheduler(
+        num_train_timesteps=1000, shift=5.0
+    )
+    pipe = WanI2VFantasyPipeline(
+        tokenizer=pipe_long.tokenizer, text_encoder=pipe_long.text_encoder,
+        vae=pipe_long.vae, transformer=pipe_long.transformer,
+        clip_image_encoder=pipe_long.clip_image_encoder, scheduler=sched,
+    )
+
+    # video/mask per get_image_to_video_latent, but in [0,1] (see docstring)
+    img01 = _torch.from_numpy(image.astype(np.float32) / 255.0).permute(2, 0, 1)
+    input_video = img01[None, :, None].repeat(1, 1, SC_LEN, 1, 1)
+    mask_video = _torch.zeros_like(input_video[:, :1])
+    mask_video[:, :, 1:] = 255.0
+
+    fe = Wav2Vec2FeatureExtractor(
+        feature_size=1, sampling_rate=SR, padding_value=0.0, do_normalize=True,
+        return_attention_mask=False,
+    )
+    iv = fe(wav, sampling_rate=SR, return_tensors="pt").input_values
+    with _torch.no_grad():
+        feats = pipe_long.wav2vec(iv).last_hidden_state
+
+    captured, final = [], {}
+    orig_fwd = pipe.transformer.forward
+
+    def record_fwd(*a, x=None, **kw):
+        captured.append(x[0:1].detach().float().numpy())
+        return orig_fwd(*a, x=x, **kw)
+
+    orig_dec = pipe.decode_latents
+
+    def record_dec(latents):
+        final["latents"] = latents.detach().float().numpy()
+        return orig_dec(latents)
+
+    pipe.transformer.forward = record_fwd
+    pipe.decode_latents = record_dec
+    try:
+        out = pipe(
+            prompt="a person is talking",
+            negative_prompt="static",
+            height=H, width=W,
+            video=input_video, mask_video=mask_video,
+            clip_image=Image.fromarray(image),
+            num_frames=SC_LEN,
+            num_inference_steps=steps,
+            guidance_scale=6.0,  # only gates do_classifier_free_guidance
+            generator=torch.Generator().manual_seed(0),
+            latents=torch.from_numpy(noise),
+            output_type="numpy",
+            prompt_cfg_scale=prompt_cfg,
+            audio_cfg_scale=audio_cfg,
+            vocal_input_values=feats,
+            max_sequence_length=TEXT_LEN,
+        )
+    finally:
+        pipe.transformer.forward = orig_fwd
+        pipe.decode_latents = orig_dec
+    video = out.videos.numpy() if torch.is_tensor(out.videos) else np.asarray(out.videos)
+    return captured, final["latents"], video
+
+
+def test_single_clip_pipeline_step_parity(stacks):
+    """generate_single_clip vs the ACTUAL reference fantasy pipeline,
+    step-for-step: denoiser inputs at every step, final latents, video."""
+    pipe, models = stacks
+    image, wav, _ = _shared_inputs(SC_LEN)
+    rng = np.random.default_rng(11)
+    noise = _bf16(rng.standard_normal((1, 16, (SC_LEN - 1) // 4 + 1,
+                                       H // 4, W // 4)))
+
+    captured, ref_final, ref_video = _run_reference_single_clip(
+        pipe, image, wav, noise
+    )
+    assert len(captured) == STEPS
+
+    from stableavatar_tpu.pipelines.single_clip import generate_single_clip
+
+    ours_steps = {}
+
+    def cb(i, lat):
+        ours_steps[i] = lat
+
+    img = (image.astype(np.float32) / 255.0 - 0.5) * 2.0
+    out = generate_single_clip(
+        models,
+        ref_image=img.transpose(2, 0, 1)[None],
+        vocal_waveform=wav,
+        prompt_ids=_tok_ours("a person is talking"),
+        negative_prompt_ids=_tok_ours("static"),
+        num_inference_steps=STEPS,
+        prompt_cfg_scale=2.5,
+        audio_cfg_scale=3.5,
+        clip_length=SC_LEN,
+        initial_latents=noise,
+        step_callback=cb,
+    )
+
+    # step 0 input is the injected (bf16-exact) noise
+    np.testing.assert_allclose(captured[0], noise, atol=1e-6)
+    # step i's reference input == our post-step latents of step i-1
+    worst = 0.0
+    for i in range(1, STEPS):
+        d = float(np.abs(ours_steps[i - 1] - captured[i]).max())
+        worst = max(worst, d)
+        assert d < 0.06, f"step{i}: max-abs {d}"
+
+    d_final = float(np.abs(np.asarray(out.latents, np.float32) - ref_final).max())
+    assert d_final < 0.08, f"final latents diff {d_final} (worst step {worst})"
+
+    assert ref_video.shape == np.asarray(out.videos).shape
+    d_video = float(np.abs(np.asarray(out.videos) - ref_video).max())
+    assert d_video < 0.15, f"decoded video diff {d_video}"
+
+
 def test_final_window_deviation(stacks, tmp_path):
     """Quantify the documented deviation for NON-tiling durations: the
     reference's final window shrinks (`:783-786`) while ours shifts back to
