@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "dpm++/unipc as injectable schedulers "
                         "(wan/utils/fm_solvers*.py)")
     p.add_argument("--solver_order", type=int, default=2, choices=[1, 2, 3])
+    p.add_argument("--solver_type", type=str, default=None,
+                   choices=["midpoint", "heun", "bh1", "bh2"],
+                   help="dpm++: midpoint (default) | heun; unipc: bh2 "
+                        "(default) | bh1 (reference NaNs at the final step "
+                        "with bh1; ours folds it to the exact x0)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--fps", type=int, default=25)
     p.add_argument("--sample_rate", type=int, default=16000)
@@ -371,6 +376,7 @@ def main(argv=None):
             overlapping_weight_scheme=args.overlapping_weight_scheme,
             scheduler=args.sample_solver,
             solver_order=args.solver_order,
+            solver_type=args.solver_type,
             fps=args.fps,
             sr=args.sample_rate,
             seed=args.seed,

@@ -329,10 +329,12 @@ def _sweep_step_ms(
         else:
             x_t, x0, corrected = unipc_apply(
                 lat_win, v, sigma, ms_state["x0_prev"][wi],
-                ms_state["x0_prev2"][wi], ms_state["last_sample"][wi], **coeffs,
+                ms_state["x0_prev2"][wi], ms_state["last_sample"][wi],
+                x0_prev3=ms_state["x0_prev3"][wi], **coeffs,
             )
             new_state["x0_prev"][wi] = x0
             new_state["x0_prev2"][wi] = ms_state["x0_prev"][wi]
+            new_state["x0_prev3"][wi] = ms_state["x0_prev2"][wi]
             new_state["last_sample"][wi] = corrected
         new_lat = x_t.astype(jnp.bfloat16)
         if s != 0 and blend:
@@ -403,6 +405,7 @@ def generate_long(
     overlapping_weight_scheme: str = "uniform",
     scheduler: str = "euler",  # "euler" | "dpm++" | "unipc"
     solver_order: int = 2,
+    solver_type: Optional[str] = None,  # dpm++: midpoint|heun; unipc: bh1|bh2
     fps: int = 25,
     sr: int = 16000,
     seed: int = 42,
@@ -502,7 +505,8 @@ def generate_long(
         if scheduler in ("dpm++", "dpm-solver++", "dpm"):
             solver_kind = "dpm"
             co_steps = [
-                dpm_coeffs(sched, i, solver_order) for i in range(sched.num_steps)
+                dpm_coeffs(sched, i, solver_order, solver_type or "midpoint")
+                for i in range(sched.num_steps)
             ]
             ms_state = {"x0_prev": zw(), "x0_prev2": zw()}
         elif scheduler == "unipc":
@@ -510,9 +514,12 @@ def generate_long(
             co_steps = []
             prev_order = 1
             for i in range(sched.num_steps):
-                co, prev_order = unipc_coeffs(sched, i, solver_order, prev_order)
+                co, prev_order = unipc_coeffs(
+                    sched, i, solver_order, prev_order, solver_type or "bh2"
+                )
                 co_steps.append(co)
-            ms_state = {"x0_prev": zw(), "x0_prev2": zw(), "last_sample": zw()}
+            ms_state = {"x0_prev": zw(), "x0_prev2": zw(), "x0_prev3": zw(),
+                        "last_sample": zw()}
         else:
             raise ValueError(f"unknown scheduler {scheduler!r}")
 

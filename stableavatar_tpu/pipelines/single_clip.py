@@ -116,6 +116,7 @@ def generate_single_clip(
     shift: float = 5.0,
     scheduler: str = "euler",  # "euler" | "dpm++" | "unipc"
     solver_order: int = 2,
+    solver_type: Optional[str] = None,  # dpm++: midpoint|heun; unipc: bh1|bh2
     output_type: str = "numpy",
     initial_latents=None,  # [1, 16, Tl, h, w] noise override (parity harness)
     step_callback=None,  # called (step_index, post-step latents f32) per step
@@ -179,7 +180,9 @@ def generate_single_clip(
         )
 
         solver_cls = {"dpm++": FlowDPMSolverMultistep, "unipc": FlowUniPCMultistep}[scheduler]
-        solver = solver_cls(num_inference_steps, shift=shift, order=solver_order)
+        kw = {"solver_type": solver_type} if solver_type else {}
+        solver = solver_cls(num_inference_steps, shift=shift,
+                            order=solver_order, **kw)
         state = MultistepState()
         for i in range(solver.sched.num_steps):
             v = _clip_velocity(
