@@ -230,8 +230,14 @@ def main():
             "measured": "direct generate_long run, 512^2, 50 steps, overlap 15, 2 windows",
             "dit_window_step_s": round(t_wstep, 4),
             "teacache_skip_step_s": round(t_skip, 4),
+            # decode is SEGMENTED+overlapped with the host transfer
+            # (decode_video_segmented): the vae_decode phase fences only the
+            # first segment; the rest decodes under video_transfer. The
+            # honest per-frame output cost is the combined tail.
             "vae_decode_fps": round(vae_fps, 2),
             "video_transfer_fps": round(xfer_fps, 2),
+            "decode_plus_transfer_fps": round(
+                video_frames / max(vae_s + xfer_s, 1e-9), 2),
             "raw_run_wall_s": round(wall, 2),
             "finite_run_video_s_per_min": round(finite_rate, 4),
             "teacache_video_s_per_min": round(steady_rate_tc, 4),

@@ -450,6 +450,67 @@ def encode_chunks(params, video, cfg: VAEConfig = VAEConfig(), chunks_per_step: 
     return mu, logvar
 
 
+def _decode_segment_impl(params, z_seg, caches, cfg: VAEConfig,
+                         frames_per_step: int, first: bool,
+                         out_uint8: bool = False):
+    """One temporal segment of the streaming decode: denormalize, 1x1 conv2,
+    the solo first-latent-frame path when `first` (reference
+    `wan_vae.py:549-574`), then the cache-carried scan.  Returns
+    (frames, caches_out) so segments chain exactly (the 2-frame causal-conv
+    cache makes segment boundaries invisible; equality asserted in tests).
+
+    `out_uint8=True` additionally quantizes to display uint8 on device
+    (pipelines transfer 4x fewer bytes to the host)."""
+    b, ts, h, w, _ = z_seg.shape
+    mean = jnp.asarray(cfg.latent_mean, dtype=z_seg.dtype)
+    std = jnp.asarray(cfg.latent_std, dtype=z_seg.dtype)
+    z = z_seg * std + mean
+    x = conv3d(z, params["conv2"]["w"], params["conv2"]["b"], padding="VALID")
+
+    dec = params["decoder"]
+    parts = []
+    if first:
+        ctx0 = _Cache(_init_caches(dec, x[:, :1], cfg, decoder_apply, True))
+        f0 = decoder_apply(dec, x[:, :1], ctx0, cfg, first_chunk=True)
+        caches = ctx0.caches_out
+        parts.append(f0)
+        x = x[:, 1:]
+
+    n_rest = x.shape[1]
+    g = max(1, frames_per_step)
+    n_groups, rem = divmod(n_rest, g)
+
+    def step(caches, zc):
+        ctx = _Cache(caches)
+        f = decoder_apply(dec, zc, ctx, cfg, first_chunk=False)
+        return ctx.caches_out, f
+
+    if n_groups > 0:
+        body = x[:, : n_groups * g]
+        body = body.reshape(b, n_groups, g, h, w, body.shape[-1])
+        body = jnp.moveaxis(body, 1, 0)  # [n_groups, B, g, h, w, z]
+        caches, fs = jax.lax.scan(step, caches, body)
+        fs = jnp.moveaxis(fs, 0, 1).reshape(b, -1, *fs.shape[3:])
+        parts.append(fs)
+    if rem > 0:
+        caches, f_rem = step(caches, x[:, n_groups * g :])
+        parts.append(f_rem)
+
+    frames = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    frames = jnp.clip(frames, -1.0, 1.0)
+    if out_uint8:
+        frames = jnp.clip(
+            jnp.round((frames.astype(jnp.float32) / 2.0 + 0.5) * 255.0), 0, 255
+        ).astype(jnp.uint8)
+    return frames, caches
+
+
+_decode_segment = jax.jit(
+    _decode_segment_impl,
+    static_argnames=("cfg", "frames_per_step", "first", "out_uint8"),
+)
+
+
 def decode_chunks(params, z, cfg: VAEConfig = VAEConfig(), frames_per_step: int = 1):
     """z [B, Tl, h, w, zdim] (normalized latents) -> video [B, 1+4(Tl-1), H, W, 3].
 
@@ -461,40 +522,10 @@ def decode_chunks(params, z, cfg: VAEConfig = VAEConfig(), frames_per_step: int 
     boundaries invisible; equality asserted in tests) but gives the TPU
     bigger tensors per dispatch.  A remainder group runs as one extra call.
     """
-    b, tl, h, w, _ = z.shape
-    mean = jnp.asarray(cfg.latent_mean, dtype=z.dtype)
-    std = jnp.asarray(cfg.latent_std, dtype=z.dtype)
-    z = z * std + mean
-    x = conv3d(z, params["conv2"]["w"], params["conv2"]["b"], padding="VALID")
-
-    dec = params["decoder"]
-    ctx0 = _Cache(_init_caches(dec, x[:, :1], cfg, decoder_apply, True))
-    f0 = decoder_apply(dec, x[:, :1], ctx0, cfg, first_chunk=True)
-    caches = ctx0.caches_out
-    parts = [f0]
-
-    n_rest = tl - 1
-    g = max(1, frames_per_step)
-    n_groups, rem = divmod(n_rest, g)
-
-    def step(caches, zc):
-        ctx = _Cache(caches)
-        f = decoder_apply(dec, zc, ctx, cfg, first_chunk=False)
-        return ctx.caches_out, f
-
-    if n_groups > 0:
-        body = x[:, 1 : 1 + n_groups * g]
-        body = body.reshape(b, n_groups, g, h, w, body.shape[-1])
-        body = jnp.moveaxis(body, 1, 0)  # [n_groups, B, g, h, w, z]
-        caches, fs = jax.lax.scan(step, caches, body)
-        fs = jnp.moveaxis(fs, 0, 1).reshape(b, -1, *fs.shape[3:])
-        parts.append(fs)
-    if rem > 0:
-        caches, f_rem = step(caches, x[:, 1 + n_groups * g :])
-        parts.append(f_rem)
-
-    frames = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-    return jnp.clip(frames, -1.0, 1.0)
+    frames, _ = _decode_segment_impl(
+        params, z, None, cfg, frames_per_step, first=True
+    )
+    return frames
 
 
 def sample_posterior(mu, logvar, key):
@@ -527,3 +558,47 @@ def decode_video(params, z_nczhw, cfg: VAEConfig = VAEConfig(), frames_per_step=
         frames_per_step = max(1, min(4, (4 * 48 * 48) // max(lh * lw, 1)))
     frames = decode_chunks(params, z, cfg, frames_per_step=frames_per_step)
     return jnp.transpose(frames, (0, 4, 1, 2, 3))
+
+
+def decode_video_segmented(
+    params,
+    z_nczhw,
+    cfg: VAEConfig = VAEConfig(),
+    segment_latents: Optional[int] = None,
+    frames_per_step: Optional[int] = None,
+    out_uint8: bool = False,
+):
+    """Segmented streaming decode: returns a LIST of [B, 3, Ts, H, W] device
+    arrays (uint8 display frames when `out_uint8`), one per temporal segment,
+    each dispatched as its own jitted program with the conv caches carried
+    across segments (bit-identical concatenation to `decode_video` — tested).
+
+    The point is decode/transfer OVERLAP: jax's async dispatch enqueues every
+    segment up front, so the host can pull segment k while the device decodes
+    k+1 — device->host bandwidth (PCIe, or the RPC tunnel on remote-attached
+    chips) hides behind decode compute instead of serializing after it.
+    One jitted program also replaces the former per-op eager dispatch.
+
+    Segment lengths: first = 1 + (segment_latents - 1) (the solo first-frame
+    path plus group-aligned rest), middle = segment_latents, remainder last —
+    at most 3 distinct compiled programs per geometry."""
+    z = jnp.transpose(z_nczhw, (0, 2, 3, 4, 1))
+    tl, lh, lw = z.shape[1], z.shape[2], z.shape[3]
+    if frames_per_step is None:
+        frames_per_step = max(1, min(4, (4 * 48 * 48) // max(lh * lw, 1)))
+    if segment_latents is None:
+        # ~2 scan groups per segment: big enough that dispatch cost is
+        # amortized, small enough that transfer overlaps from early on
+        segment_latents = max(2 * frames_per_step, 4)
+    outs = []
+    caches = None
+    s = 0
+    while s < tl:
+        n = min(segment_latents, tl - s)
+        frames, caches = _decode_segment(
+            params, z[:, s : s + n], caches, cfg, frames_per_step,
+            first=(s == 0), out_uint8=out_uint8,
+        )
+        outs.append(jnp.transpose(frames, (0, 4, 1, 2, 3)))
+        s += n
+    return outs

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from stableavatar_tpu.models.dit import dit_forward, dit_forward_skip, dit_time_e0
-from stableavatar_tpu.models.vae import decode_video
+from stableavatar_tpu.models.vae import decode_video_segmented
 from stableavatar_tpu.pipelines.common import (
     WanModels,
     encode_prompts,
@@ -588,19 +588,23 @@ def generate_long(
         return LongPipelineOutput(videos=None, latents=latents)
 
     # decode in the VAE dtype like the reference (`decode_latents` casts to
-    # vae.dtype, wan_inference_long_pipeline.py:425) — halves decode HBM
+    # vae.dtype, wan_inference_long_pipeline.py:425) — halves decode HBM.
+    # Segmented decode (models/vae.py:decode_video_segmented): every segment
+    # is enqueued up front (async dispatch), uint8-quantized on device (4x
+    # smaller transfer), and the host pulls segment k WHILE the device
+    # decodes k+1 — device->host bandwidth hides behind decode compute.
     with phase("vae_decode"):
-        frames = decode_video(models.vae_params, latents_all.astype(jnp.bfloat16), models.vae_cfg)
-        # quantize to uint8 ON DEVICE before the host transfer: video sinks
-        # consume uint8 anyway, and the transfer is 4x smaller (matters on
-        # remote-attached accelerators)
-        frames_u8 = jnp.clip(
-            jnp.round((frames.astype(jnp.float32) / 2.0 + 0.5) * 255.0), 0, 255
-        ).astype(jnp.uint8)
-        # force device completion with a one-pixel host read so this phase
-        # measures decode COMPUTE (block_until_ready is a no-op over
-        # remote-tunneled accelerators) and the next phase the transfer
-        np.asarray(frames_u8[0, 0, 0, 0, 0])
+        segs_u8 = decode_video_segmented(
+            models.vae_params, latents_all.astype(jnp.bfloat16),
+            models.vae_cfg, out_uint8=True,
+        )
+        # force completion of the FIRST segment with a one-pixel host read
+        # (block_until_ready is a no-op over remote-tunneled accelerators):
+        # this phase measures first-segment decode compute; the remaining
+        # segments decode under the transfer phase, overlapped
+        np.asarray(segs_u8[0][0, 0, 0, 0, 0])
     with phase("video_transfer"):
-        video = np.asarray(frames_u8).astype(np.float32) / 255.0
+        video = np.concatenate(
+            [np.asarray(s) for s in segs_u8], axis=2
+        ).astype(np.float32) / 255.0
     return LongPipelineOutput(videos=video, latents=latents)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from stableavatar_tpu.models.dit import dit_forward
-from stableavatar_tpu.models.vae import decode_video
+from stableavatar_tpu.models.vae import decode_video_segmented
 from stableavatar_tpu.pipelines.common import (
     WanModels,
     encode_prompt_ids,
@@ -201,7 +201,14 @@ def generate_single_clip(
     lat_f32 = latents.astype(jnp.float32)
     if output_type == "latent":
         return SingleClipOutput(videos=None, latents=lat_f32)
-    frames = decode_video(models.vae_params, latents.astype(jnp.bfloat16), models.vae_cfg)
+    # segmented jitted decode with on-device uint8 + decode/transfer overlap
+    # (models/vae.py:decode_video_segmented — same path as generate_long)
+    segs_u8 = decode_video_segmented(
+        models.vae_params, latents.astype(jnp.bfloat16), models.vae_cfg,
+        out_uint8=True,
+    )
     latents = lat_f32
-    video = np.clip(np.asarray(frames, np.float32) / 2.0 + 0.5, 0.0, 1.0)
+    video = np.concatenate(
+        [np.asarray(s) for s in segs_u8], axis=2
+    ).astype(np.float32) / 255.0
     return SingleClipOutput(videos=video, latents=latents)

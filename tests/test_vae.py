@@ -113,3 +113,34 @@ def test_encode_grouping_invariance(setup):
     for g in (2, 3, 4):
         mu, lv = encode_chunks(params, video, TINY, chunks_per_step=g)
         np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_decode_segmented_matches_monolithic(setup):
+    """Segmented streaming decode (`decode_video_segmented`) must concatenate
+    to exactly `decode_video` — the conv caches carried across segments make
+    segment boundaries invisible; also checks the on-device uint8 path."""
+    from stableavatar_tpu.models.vae import decode_video, decode_video_segmented
+
+    params, _ = setup
+    rng = np.random.default_rng(5)
+    z = jnp.asarray(rng.standard_normal((1, 2, 7, 4, 4)).astype(np.float32))
+
+    ref = np.asarray(decode_video(params, z, TINY, frames_per_step=2))
+    for seg in (1, 2, 3, 7, 10):
+        segs = decode_video_segmented(
+            params, z, TINY, segment_latents=seg, frames_per_step=2
+        )
+        got = np.concatenate([np.asarray(s) for s in segs], axis=2)
+        # jit-vs-eager fusion rounding only (same tolerance as grouping test)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    ref_u8 = np.clip(
+        np.round((ref.astype(np.float32) / 2.0 + 0.5) * 255.0), 0, 255
+    ).astype(np.uint8)
+    segs_u8 = decode_video_segmented(
+        params, z, TINY, segment_latents=3, frames_per_step=2, out_uint8=True
+    )
+    got_u8 = np.concatenate([np.asarray(s) for s in segs_u8], axis=2)
+    assert got_u8.dtype == np.uint8
+    # float rounding at segment boundaries can differ by 1 LSB at most
+    assert np.abs(got_u8.astype(np.int32) - ref_u8.astype(np.int32)).max() <= 1
