@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "dpm++/unipc as injectable schedulers "
                         "(wan/utils/fm_solvers*.py)")
     p.add_argument("--solver_order", type=int, default=2, choices=[1, 2, 3])
+    p.add_argument("--color_correction_strength", type=float, default=0.0,
+                   help="opt-in LAB-space color match of the decoded video "
+                        "to the reference image (0 disables = reference "
+                        "parity: the util is imported but unwired at "
+                        "wan_inference_long_pipeline.py:32)")
     p.add_argument("--solver_type", type=str, default=None,
                    choices=["midpoint", "heun", "bh1", "bh2"],
                    help="dpm++: midpoint (default) | heun; unipc: bh2 "
@@ -380,6 +385,7 @@ def main(argv=None):
             fps=args.fps,
             sr=args.sample_rate,
             seed=args.seed,
+            color_correction_strength=args.color_correction_strength,
         )
 
     print(f"[stableavatar-tpu] generation done ({_time.time()-_t0:.0f}s)", flush=True)

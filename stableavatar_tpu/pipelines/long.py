@@ -414,6 +414,7 @@ def generate_long(
     timer=None,  # optional utils.profiling.StepTimer for per-phase tracing
     initial_latents=None,  # optional [1, 16, infer_length, lh, lw] noise
     step_callback=None,  # optional fn(step_index, latents_all) for parity probes
+    color_correction_strength: float = 0.0,  # opt-in LAB match to ref image
 ) -> LongPipelineOutput:
     """Audio-driven unbounded-length generation (reference §3.2 call stack)."""
     import contextlib
@@ -607,4 +608,16 @@ def generate_long(
         video = np.concatenate(
             [np.asarray(s) for s in segs_u8], axis=2
         ).astype(np.float32) / 255.0
+    if color_correction_strength > 0.0:
+        # opt-in (default off = reference parity: the util is imported but
+        # never called at `wan_inference_long_pipeline.py:32`): LAB-match
+        # the decoded stream to the reference image for long-run color drift
+        from stableavatar_tpu.utils.color_correction import match_and_blend_colors
+
+        ref_np = np.asarray(ref_image, np.float32)[:, :, None]  # [1,3,1,H,W]
+        video = np.clip(
+            (match_and_blend_colors(
+                video * 2.0 - 1.0, ref_np, color_correction_strength,
+            ) + 1.0) / 2.0, 0.0, 1.0,
+        )
     return LongPipelineOutput(videos=video, latents=latents)

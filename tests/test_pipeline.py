@@ -461,3 +461,28 @@ def test_generate_long_multistep_matches_per_window_oracle(tiny_models):
             err_msg=f"{sched_name} order={order} sweep != per-window oracle",
         )
         assert np.isfinite(got).all()
+
+
+def test_generate_long_color_correction(tiny_models):
+    """Opt-in LAB color match pulls the decoded stream toward the reference
+    image's color statistics (the reference imports the util but never wires
+    it — this path is an exceed-parity opt-in, default off)."""
+    rng = np.random.default_rng(7)
+    # strongly tinted reference so the match direction is unambiguous
+    ref = np.full((1, 3, 32, 32), -0.8, np.float32)
+    ref[:, 0] = 0.8
+    wav = rng.standard_normal(18 * 640).astype(np.float32) * 0.1
+
+    kw = dict(
+        ref_image=ref, vocal_waveform=wav, prompt="x", negative_prompt="",
+        num_inference_steps=1, clip_length=9, overlap_window_length=1, seed=0,
+    )
+    base = generate_long(tiny_models, **kw)
+    cc = generate_long(tiny_models, color_correction_strength=1.0, **kw)
+
+    assert cc.videos.shape == base.videos.shape
+    assert np.isfinite(cc.videos).all()
+    ref01 = (ref + 1.0) / 2.0
+    d_base = np.abs(base.videos.mean(axis=(0, 2, 3, 4)) - ref01.mean(axis=(0, 2, 3)))
+    d_cc = np.abs(cc.videos.mean(axis=(0, 2, 3, 4)) - ref01.mean(axis=(0, 2, 3)))
+    assert d_cc.sum() < d_base.sum()
