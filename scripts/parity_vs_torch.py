@@ -175,6 +175,7 @@ def compare_dit_forward(
     seed=0,
     video_sample_n_frames=None,
     honor_vocal_k_lens=False,
+    vocal_cfg_tile=True,
 ):
     """One CFG-triple DiT forward on identical random inputs.
 
@@ -204,6 +205,14 @@ def compare_dit_forward(
 
     with torch.no_grad():
         seq_len = f * (lh // 2) * (lw // 2)
+        ref_kw = {}
+        # the 14B module has NO video_sample_n_frames parameter — it
+        # hardcodes 81 frames / 21 latent frames in its forward
+        # (`wan_fantasy_transformer3d_14B.py:569,1008`)
+        import inspect
+
+        if "video_sample_n_frames" in inspect.signature(ref_model.forward).parameters:
+            ref_kw["video_sample_n_frames"] = video_sample_n_frames
         ref_out = ref_model(
             torch.from_numpy(x),
             torch.from_numpy(t),
@@ -212,7 +221,7 @@ def compare_dit_forward(
             clip_fea=torch.from_numpy(clip_fea),
             y=torch.from_numpy(y),
             vocal_embeddings=torch.from_numpy(vocal),
-            video_sample_n_frames=video_sample_n_frames,
+            **ref_kw,
         )
         ref_np = ref_out[0].float().numpy() if isinstance(ref_out, tuple) else ref_out.float().numpy()
 
@@ -220,7 +229,8 @@ def compare_dit_forward(
         dit_forward(
             jax_params, dit_cfg, jnp.asarray(x), jnp.asarray(t), jnp.asarray(text),
             jnp.asarray(clip_fea), jnp.asarray(y), jnp.asarray(vocal),
-            video_sample_n_frames=video_sample_n_frames, vocal_cfg_tile=True,
+            video_sample_n_frames=video_sample_n_frames,
+            vocal_cfg_tile=vocal_cfg_tile,
             honor_vocal_k_lens=honor_vocal_k_lens,
         ),
         np.float32,

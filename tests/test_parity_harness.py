@@ -97,3 +97,80 @@ def test_harness_imports_and_loaders_exist():
     assert callable(pv.compare_pipelines)
     wan = pv._import_reference()
     assert wan is not None
+
+
+def _tiny_ref_model_14b():
+    """The ACTUAL reference 14B module at a tiny config — exercises the 14B
+    variant's semantics that differ from 1B: the vocal projector runs on the
+    FULL CFG batch (no [-1:] slice + [0,v,v] tile,
+    `wan_fantasy_transformer3d_14B.py:1008`), latents_num_frames is
+    hardcoded 21 (`:569`), and the projector is the 2-stage
+    768->2048->proj_dim `VocalProjModel` (`vocal_projector_fantasy_14B.py:
+    384-398`)."""
+    import parity_vs_torch as pv
+
+    pv._import_reference()
+    from wan.models.wan_fantasy_transformer3d_14B import (
+        WanTransformer3DFantasy14BModel,
+    )
+    from wan.models.vocal_projector_fantasy_14B import (
+        FantasyTalkingVocalCondition14BModel,
+    )
+
+    torch.manual_seed(1)
+    model = WanTransformer3DFantasy14BModel(
+        model_type="i2v",
+        patch_size=(1, 2, 2),
+        text_len=32,
+        in_dim=36,
+        dim=64,
+        ffn_dim=128,
+        freq_dim=64,
+        text_dim=48,
+        out_dim=16,
+        num_heads=4,
+        num_layers=2,
+        eps=1e-6,
+    )
+    # dim-matched tiny projector (the default ctor uses audio_proj_dim=dim
+    # already, but rebuild for a seeded init); VocalProjModel's hidden 2048
+    # stays (hardcoded in the reference)
+    model.vocal_projector = FantasyTalkingVocalCondition14BModel(
+        audio_in_dim=768, audio_proj_dim=64, dit_dim=64
+    )
+    with torch.no_grad():
+        for blk in model.blocks:
+            blk.cross_attn.k_vocal.weight.normal_(0, 0.1)
+            blk.cross_attn.v_vocal.weight.normal_(0, 0.1)
+        model.head.head.weight.normal_(0, 0.05)
+    return model.eval()
+
+
+def test_forward_probe_on_converted_tiny_reference_14b():
+    """14B-variant step parity: full-batch vocal projector (no CFG tiling)
+    at the reference's hardcoded 21 latent frames / 81 video frames."""
+    import parity_vs_torch as pv
+    from stableavatar_tpu.config import DiTConfig
+
+    ref_model = _tiny_ref_model_14b()
+    cfg = DiTConfig(
+        dim=64,
+        ffn_dim=128,
+        num_heads=4,
+        num_layers=2,
+        text_len=32,
+        text_dim=48,
+        freq_dim=64,
+        audio_in_dim=768,
+        audio_proj_dim=64,
+        audio_proj_hidden=2048,
+        vocal_num_heads=8,
+    )
+    jax_params = pv.convert_torch_dit_to_jax(ref_model, cfg)
+
+    report = pv.compare_dit_forward(
+        ref_model, jax_params, cfg, f=21, lh=8, lw=8, la=165,
+        video_sample_n_frames=81, vocal_cfg_tile=False,
+    )
+    assert report["max_rel"] < 5e-3, report
+    assert np.isfinite(report["mean_abs"])
