@@ -25,6 +25,10 @@ def build_parser():
     p.add_argument("--video_sample_size", type=int, default=512)
     p.add_argument("--video_sample_n_frames", type=int, default=81)
     p.add_argument("--audio_sample_rate", type=int, default=16000)
+    # reference: DataLoader(num_workers=...) (train_1B_square.py:433,979);
+    # here a decode thread pool + bounded background prefetch
+    p.add_argument("--dataloader_num_workers", type=int, default=0)
+    p.add_argument("--prefetch_depth", type=int, default=2)
     p.add_argument("--fps", type=int, default=25)
     # model
     p.add_argument("--pretrained_model_name_or_path", type=str, default=None)
@@ -127,14 +131,18 @@ def main(argv=None):
             ],
             seed=args.seed,
         )
-        batches = ds.batches(args.train_batch_size)
+        batches = ds.batches(args.train_batch_size,
+                             num_workers=args.dataloader_num_workers,
+                             prefetch_depth=args.prefetch_depth)
     else:
         ds = TalkingVideoDataset(
             args.train_data_meta, args.train_data_dir or "",
             sample_size=size, clip_length=args.video_sample_n_frames,
             fps=args.fps, sr=args.audio_sample_rate, seed=args.seed,
         )
-        batches = ds.batches(args.train_batch_size)
+        batches = ds.batches(args.train_batch_size,
+                             num_workers=args.dataloader_num_workers,
+                             prefetch_depth=args.prefetch_depth)
 
     mesh = None
     if args.dp * args.fsdp * args.sp > 1:

@@ -38,6 +38,39 @@ PROMPTS = {
 }
 
 
+def prefetch_iterator(gen, depth: int = 2):
+    """Run `gen` on a background thread, keeping up to `depth` items ready —
+    host-side sample decode overlaps the device train step (the TPU-native
+    analog of DataLoader prefetching; reference `train_1B_square.py:979`).
+    The producer is daemonic; exceptions re-raise at the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    END = object()
+
+    def produce():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(END)
+        except BaseException as e:  # noqa: BLE001 — re-raised at consumer
+            q.put(e)
+
+    threading.Thread(target=produce, daemon=True, name="data-prefetch").start()
+
+    def consume():
+        while True:
+            item = q.get()
+            if item is END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    return consume()
+
+
 def _load_frame(path: str, size) -> np.ndarray:
     import cv2
 
@@ -95,12 +128,18 @@ class TalkingVideoDataset:
         return [os.path.join(img_dir, n) for n in names]
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        return self._sample(idx, self.rng)
+
+    def _sample(self, idx: int, rng) -> Dict[str, np.ndarray]:
+        # all randomness comes through `rng` so the threaded loader can hand
+        # each sample its own child generator (np.random.Generator is not
+        # thread-safe)
         clip = self.clips[idx]
         frames = self._frame_paths(clip)
         n = len(frames)
         cl = self.clip_length
 
-        start = 0 if n <= cl else int(self.rng.integers(0, n - cl + 1))
+        start = 0 if n <= cl else int(rng.integers(0, n - cl + 1))
         sel = list(range(start, min(start + cl, n)))
         while len(sel) < cl:  # loop-pad short clips
             sel.append(sel[-1])
@@ -166,20 +205,48 @@ class TalkingVideoDataset:
 
         if self.enable_inpaint:
             m = get_random_mask(
-                (cl, 3, h, w), image_start_only=True, rng=self.rng
+                (cl, 3, h, w), image_start_only=True, rng=rng
             ).astype(np.float32)
             masked = pixels * (1 - m.transpose(1, 0, 2, 3))
             sample["masked_pixel_values"] = masked
             sample["pixel_value_masks"] = m
         return sample
 
-    def batches(self, batch_size: int, shuffle: bool = True):
+    def batches(self, batch_size: int, shuffle: bool = True,
+                num_workers: int = 0, prefetch_depth: int = 2):
+        """Endless batch stream.  `num_workers>0` is the TPU-native analog of
+        the reference's `DataLoader(num_workers=...)`
+        (`train_1B_square.py:979`): cv2/wav decode releases the GIL, so a
+        thread pool parallelizes sample assembly within each batch, and a
+        bounded producer thread keeps `prefetch_depth` batches ahead so host
+        decode overlaps the device step."""
+        gen = self._batches_sync(batch_size, shuffle, num_workers)
+        if num_workers <= 0:
+            return gen
+        return prefetch_iterator(gen, prefetch_depth)
+
+    def _batches_sync(self, batch_size: int, shuffle: bool, num_workers: int):
+        ex = None
+        if num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            ex = ThreadPoolExecutor(num_workers, thread_name_prefix="data")
         order = np.arange(len(self))
         while True:
             if shuffle:
                 self.rng.shuffle(order)
             for i in range(0, len(order) - batch_size + 1, batch_size):
-                samples = [self[int(j)] for j in order[i : i + batch_size]]
+                idxs = [int(j) for j in order[i : i + batch_size]]
+                if ex is not None:
+                    # per-sample child generators drawn sequentially here so
+                    # the parallel decode stays deterministic given the seed
+                    rngs = [
+                        np.random.default_rng(int(self.rng.integers(2**63)))
+                        for _ in idxs
+                    ]
+                    samples = list(ex.map(self._sample, idxs, rngs))
+                else:
+                    samples = [self[j] for j in idxs]
                 yield {
                     k: np.stack([s[k] for s in samples])
                     if isinstance(samples[0][k], np.ndarray)
@@ -196,7 +263,18 @@ class InterleavedDataset:
         self.datasets = datasets
         self.rng = np.random.default_rng(seed)
 
-    def batches(self, batch_size: int):
-        iters = [d.batches(batch_size) for d in self.datasets]
-        while True:
-            yield next(iters[int(self.rng.integers(0, len(iters)))])
+    def batches(self, batch_size: int, num_workers: int = 0,
+                prefetch_depth: int = 2):
+        def gen():
+            # sub-iterators get the decode pool but no producer thread of
+            # their own (the interleave picks which one advances)
+            iters = [
+                d._batches_sync(batch_size, True, num_workers)
+                for d in self.datasets
+            ]
+            while True:
+                yield next(iters[int(self.rng.integers(0, len(iters)))])
+
+        if num_workers <= 0:
+            return gen()
+        return prefetch_iterator(gen(), prefetch_depth)

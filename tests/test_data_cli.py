@@ -201,3 +201,40 @@ def test_lip_mask_extractor_writes_masks(tmp_path):
     m = cv2.imread(str(outd / "f0.png"), cv2.IMREAD_GRAYSCALE)
     assert m is not None and (m > 0).any()
     assert not (m[:40] > 0).any() and not (m[56:] > 0).any()
+
+
+def test_threaded_loader_matches_sync_and_is_deterministic(clip_dir):
+    """num_workers>0 (decode pool + bounded prefetch — the reference's
+    DataLoader(num_workers) analog, train_1B_square.py:979) yields the same
+    schema/shapes and is deterministic given the seed."""
+    from stableavatar_tpu.data.dataset import TalkingVideoDataset
+
+    def take(n, **kw):
+        ds = TalkingVideoDataset(clip_dir, sample_size=(32, 32),
+                                 clip_length=9, seed=7)
+        it = ds.batches(1, **kw)
+        return [next(it) for _ in range(n)]
+
+    a = take(3, num_workers=2)
+    b = take(3, num_workers=2)
+    sync = take(3)
+    for ba, bb in zip(a, b):
+        for k in ("pixel_values", "vocal_input_values", "pixel_value_masks"):
+            np.testing.assert_array_equal(ba[k], bb[k])
+    assert a[0]["pixel_values"].shape == sync[0]["pixel_values"].shape
+    assert set(a[0]) == set(sync[0])
+
+
+def test_prefetch_iterator_propagates_errors():
+    from stableavatar_tpu.data.dataset import prefetch_iterator
+
+    def gen():
+        yield 1
+        raise ValueError("boom")
+
+    it = prefetch_iterator(gen(), depth=2)
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="boom"):
+        next(it)
