@@ -77,7 +77,10 @@ def build_parser():
     p.add_argument("--sp", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--low_vram", action="store_true",
-                   help="accepted for parity; TPU path uses remat + bf16 instead")
+                   help="keep umT5-xxl in host RAM and encode prompts on the "
+                        "CPU backend (the reference ping-pongs encoders "
+                        "CPU<->GPU, train_1B_square.py:1102-1107; activations "
+                        "side is covered by remat + bf16)")
     return p
 
 
@@ -100,6 +103,9 @@ def main(argv=None):
     from stableavatar_tpu.train.loop import train
     from stableavatar_tpu.train.trainer import TrainConfig
 
+    # --low_vram: umT5-xxl (11.4 GB bf16) stays in host RAM;
+    # encode_prompt_ids routes by param device (pipelines/common.py)
+    args.t5_cpu = bool(getattr(args, "low_vram", False))
     models = load_models(args)
 
     tc = TrainConfig(
