@@ -90,6 +90,11 @@ def clip_visual_forward(
     return x
 
 
+
+# jitted alias for host-level callers (one compiled program per
+# geometry instead of per-op eager dispatch)
+clip_visual_forward_jit = jax.jit(clip_visual_forward, static_argnames=("cfg", "use_31_block"))
+
 def preprocess_reference_image(image: jnp.ndarray, cfg: CLIPConfig = CLIPConfig()):
     """[B, 3, H, W] in [-1, 1] -> resized 224² and CLIP-normalized.
 

@@ -134,3 +134,8 @@ def t5_encode(params, cfg: T5Config, input_ids: jnp.ndarray, attention_mask=None
         x = x + ff @ bp["ffn"]["fc2"]["w"].astype(h.dtype)
 
     return t5_rms_norm(x, params["norm"]["w"], cfg.eps)
+
+
+# jitted alias for host-level callers (one compiled program per
+# geometry instead of per-op eager dispatch)
+t5_encode_jit = jax.jit(t5_encode, static_argnames=("cfg",))

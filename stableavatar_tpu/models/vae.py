@@ -555,6 +555,21 @@ def encode_video(params, video_ncthw, cfg: VAEConfig = VAEConfig(), chunks_per_s
     return jnp.transpose(mu, (0, 4, 1, 2, 3))
 
 
+def encode_video_sample(params, video_ncthw, key,
+                        cfg: VAEConfig = VAEConfig(), chunks_per_step=None):
+    """Like `encode_video` but SAMPLES the posterior — the reference trainer
+    encodes with `.sample()` (`train_1B_square.py:1118`), where mu is
+    normalized but log_var is raw (`wan_vae.py:539-545` — the as-built
+    quirk: the added noise std is in raw latent units)."""
+    v = jnp.transpose(video_ncthw, (0, 2, 3, 4, 1))
+    if chunks_per_step is None:
+        hw = v.shape[2] * v.shape[3]
+        chunks_per_step = max(1, min(4, (4 * 384 * 384) // max(hw, 1)))
+    mu, logvar = _encode_chunks_jit(params, v, cfg, chunks_per_step=chunks_per_step)
+    z = sample_posterior(mu, logvar, key)
+    return jnp.transpose(z, (0, 4, 1, 2, 3))
+
+
 def decode_video(params, z_nczhw, cfg: VAEConfig = VAEConfig(), frames_per_step=None):
     """z [B, z, Tl, h, w] -> video [B, 3, T, H, W] in [-1, 1].
 

@@ -145,6 +145,11 @@ def wav2vec2_forward(params, cfg: Wav2Vec2Config, waveform: jnp.ndarray):
     return x
 
 
+
+# jitted alias for host-level callers (one compiled program per
+# geometry instead of per-op eager dispatch)
+wav2vec2_forward_jit = jax.jit(wav2vec2_forward, static_argnames=("cfg",))
+
 def normalize_waveform(waveform: jnp.ndarray, eps: float = 1e-7):
     """Wav2Vec2Processor zero-mean / unit-variance normalization."""
     mean = waveform.mean(axis=-1, keepdims=True)

@@ -22,10 +22,10 @@ from stableavatar_tpu.config import (
     VAEConfig,
     Wav2Vec2Config,
 )
-from stableavatar_tpu.models.clip import clip_visual_forward, preprocess_reference_image
-from stableavatar_tpu.models.t5 import t5_encode
+from stableavatar_tpu.models.clip import clip_visual_forward_jit as clip_visual_forward, preprocess_reference_image
+from stableavatar_tpu.models.t5 import t5_encode_jit as t5_encode
 from stableavatar_tpu.models.vae import encode_video
-from stableavatar_tpu.models.wav2vec import normalize_waveform, wav2vec2_forward
+from stableavatar_tpu.models.wav2vec import normalize_waveform, wav2vec2_forward_jit as wav2vec2_forward
 
 
 @dataclasses.dataclass

@@ -42,27 +42,42 @@ def encode_batch(models: WanModels, batch: dict, rng: np.random.Generator,
       vocal context attends globally (`is_clip_level_modeling`, returned for
       the train step to pass to `dit_forward`).
     """
-    from stableavatar_tpu.models.clip import clip_visual_forward, preprocess_reference_image
-    from stableavatar_tpu.models.vae import encode_video
-    from stableavatar_tpu.models.wav2vec import normalize_waveform, wav2vec2_forward
+    from stableavatar_tpu.models.clip import clip_visual_forward_jit as clip_visual_forward, preprocess_reference_image
+    from stableavatar_tpu.models.vae import encode_video_sample
+    from stableavatar_tpu.models.wav2vec import normalize_waveform, wav2vec2_forward_jit as wav2vec2_forward
     from stableavatar_tpu.pipelines.common import encode_prompt_ids
 
     pixels = jnp.asarray(batch["pixel_values"])  # [B, 3, F, H, W]
     b = pixels.shape[0]
 
-    latents = encode_video(models.vae_params, pixels, models.vae_cfg)
+    # the reference trainer SAMPLES the posterior (train_1B_square.py:1118),
+    # unlike inference which conditions on mu
+    k_lat, k_msk = jax.random.split(
+        jax.random.PRNGKey(int(rng.integers(2**31))), 2
+    )
+    latents = encode_video_sample(models.vae_params, pixels, k_lat, models.vae_cfg)
 
     masked = jnp.asarray(batch["masked_pixel_values"])
-    masked_latents = encode_video(models.vae_params, masked, models.vae_cfg)
+    masked_latents = encode_video_sample(
+        models.vae_params, masked, k_msk, models.vae_cfg
+    )
 
     # mask -> latent packing (train_1B_square.py:1129-1138): first frame
-    # repeated 4x then grouped into 4-channel latent-frame masks
+    # repeated 4x, grouped into 4-channel latent-frame masks, then INVERTED
+    # and resized (`resize_mask(1 - pixel_value_masks, latents)`, :1138):
+    # the channel is 1 where conditioning pixels are VISIBLE — matching the
+    # inference y mask (first-frame=1, `wan_inference_long_pipeline.py:
+    # 693-700` / pipelines/common.py:prepare_conditioning)
     raw_masks = np.asarray(batch["pixel_value_masks"])
     m = jnp.asarray(raw_masks)[:, :, 0]  # [B, F, H, W]
     lh, lw = latents.shape[-2:]
-    m = jax.image.resize(m, (b, m.shape[1], lh, lw), method="nearest")
+    hp, wp = m.shape[-2:]
     m = jnp.concatenate([jnp.repeat(m[:, 0:1], 4, axis=1), m[:, 1:]], axis=1)
-    m = m.reshape(b, m.shape[1] // 4, 4, lh, lw).transpose(0, 2, 1, 3, 4)
+    m = m.reshape(b, m.shape[1] // 4, 4, hp, wp).transpose(0, 2, 1, 3, 4)
+    m = 1.0 - m
+    # reference resize_mask: trilinear, temporal size already matches ->
+    # effectively bilinear spatial (half-pixel centers = align_corners=False)
+    m = jax.image.resize(m, (*m.shape[:3], lh, lw), method="linear")
     inpaint_latents = jnp.concatenate([m.astype(latents.dtype), masked_latents], axis=1)
 
     if train_mode != "normal":

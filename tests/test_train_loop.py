@@ -149,9 +149,9 @@ def test_conditioning_dropouts_fire_with_reference_probabilities():
         vae_params=None, wav2vec_cfg=_W2VCfg(),
     )
 
-    fake_lat = jnp.zeros((b, 16, (f - 1) // 4 + 1, hw // 8, hw // 8))
+    fake_lat = jnp.ones((b, 16, (f - 1) // 4 + 1, hw // 8, hw // 8))
 
-    def fake_encode_video(p, x, cfg):
+    def fake_encode_video(p, x, k, cfg):
         return fake_lat
 
     def fake_clip(p, cfg, x):
@@ -163,20 +163,23 @@ def test_conditioning_dropouts_fire_with_reference_probabilities():
     rng = np.random.default_rng(0)
     n = 400
     t2v_zeroed = audio_dropped = clip_level = 0
-    with mock.patch("stableavatar_tpu.models.vae.encode_video", fake_encode_video), \
-         mock.patch("stableavatar_tpu.models.clip.clip_visual_forward", fake_clip), \
+    with mock.patch("stableavatar_tpu.models.vae.encode_video_sample", fake_encode_video), \
+         mock.patch("stableavatar_tpu.models.clip.clip_visual_forward_jit", fake_clip), \
          mock.patch("stableavatar_tpu.models.clip.preprocess_reference_image",
                     lambda x, cfg: x), \
-         mock.patch("stableavatar_tpu.models.wav2vec.wav2vec2_forward", fake_w2v):
+         mock.patch("stableavatar_tpu.models.wav2vec.wav2vec2_forward_jit", fake_w2v):
         for _ in range(n):
             enc = encode_batch(models, batch, rng)
             inp = np.asarray(enc["inpaint_latents"])
-            # row 0 (all-ones mask) may be zeroed; row 1 never is.  The
-            # mask channels of row 1 are all zeros here, so check row 0's
-            # mask channel directly
-            if inp[0, 0].max() == 0.0:
+            # mask channels are INVERTED (1 - mask, train_1B_square.py:1138):
+            # row 1's all-zeros raw mask -> channel all ones (unless t2v
+            # zeroed — but row 1 is never a t2v candidate)
+            assert inp[1, :4].min() > 0.999  # ~1-ulp linear-resize fuzz
+            # row 0 (all-ones raw mask -> channel zeros) is the t2v
+            # candidate: detect zeroing on its LATENT channels (fake
+            # encoder returns ones)
+            if inp[0, 4:].max() == 0.0:
                 t2v_zeroed += 1
-            assert inp[1, :4].max() == 0.0  # row 1 mask is zeros by input
             if np.asarray(enc["vocal_embeddings"]).max() == 0.0:
                 audio_dropped += 1
             if enc["is_clip_level_modeling"]:
@@ -188,14 +191,16 @@ def test_conditioning_dropouts_fire_with_reference_probabilities():
     assert 0.3 * n - 3 * np.sqrt(n * 0.21) < clip_level < 0.3 * n + 3 * np.sqrt(n * 0.21)
 
     # train_mode="normal" disables t2v zeroing entirely
-    with mock.patch("stableavatar_tpu.models.vae.encode_video", fake_encode_video), \
-         mock.patch("stableavatar_tpu.models.clip.clip_visual_forward", fake_clip), \
+    with mock.patch("stableavatar_tpu.models.vae.encode_video_sample", fake_encode_video), \
+         mock.patch("stableavatar_tpu.models.clip.clip_visual_forward_jit", fake_clip), \
          mock.patch("stableavatar_tpu.models.clip.preprocess_reference_image",
                     lambda x, cfg: x), \
-         mock.patch("stableavatar_tpu.models.wav2vec.wav2vec2_forward", fake_w2v):
+         mock.patch("stableavatar_tpu.models.wav2vec.wav2vec2_forward_jit", fake_w2v):
         for _ in range(50):
             enc = encode_batch(models, batch, rng, train_mode="normal")
-            assert np.asarray(enc["inpaint_latents"])[0, 0].max() == 1.0
+            # latent channels stay intact (mask channel of row 0 is zeros
+            # by the 1-mask inversion, so check the encoder channels)
+            assert np.asarray(enc["inpaint_latents"])[0, 4:].max() == 1.0
 
 
 def test_async_checkpointing_and_rotation(tmp_path):
@@ -264,3 +269,56 @@ def test_preemption_kill_and_resume(tiny_models, tmp_path):
     )
     # resumed AT step 3: only steps 4 and 5 ran
     assert [h["step"] for h in history] == [4, 5]
+
+
+def test_train_mask_channel_matches_inference_convention():
+    """The training inpaint mask channel (1 - mask, train_1B_square.py:1138)
+    must equal the inference y mask for the image_start_only pattern:
+    1 on the (visible) first latent frame's 4 sub-channels, 0 after —
+    exactly `prepare_conditioning`'s msk (pipelines/common.py)."""
+    from unittest import mock
+
+    from stableavatar_tpu.pipelines.common import WanModels
+    from stableavatar_tpu.config import DiTConfig
+    from stableavatar_tpu.train.loop import encode_batch
+
+    b, f, hw = 1, 9, 16
+    raw = np.ones((b, f, 1, hw, hw), np.float32)
+    raw[:, 0] = 0.0  # image_start_only: first frame visible
+    batch = {
+        "pixel_values": np.zeros((b, 3, f, hw, hw), np.float32),
+        "masked_pixel_values": np.zeros((b, 3, f, hw, hw), np.float32),
+        "pixel_value_masks": raw,
+        "reference_image": np.zeros((b, 3, 1, hw, hw), np.float32),
+        "vocal_input_values": np.ones((b, 320), np.float32),
+        "prompt_embeds": np.zeros((b, 16, 32), np.float32),
+        "tgt_face_masks": np.ones((b, 1, f, hw, hw), np.float32),
+        "tgt_lip_masks": np.ones((b, 1, f, hw, hw), np.float32),
+    }
+
+    class _W2VCfg:
+        do_normalize = False
+
+    models = WanModels(
+        dit_params=None,
+        dit_cfg=DiTConfig(dim=32, ffn_dim=64, num_heads=2, num_layers=1),
+        vae_params=None, wav2vec_cfg=_W2VCfg(),
+    )
+    tl = (f - 1) // 4 + 1
+    fake_lat = jnp.ones((b, 16, tl, hw // 8, hw // 8))
+
+    with mock.patch("stableavatar_tpu.models.vae.encode_video_sample",
+                    lambda p, x, k, cfg: fake_lat), \
+         mock.patch("stableavatar_tpu.models.clip.clip_visual_forward_jit",
+                    lambda p, cfg, x: jnp.zeros((b, 257, 16))), \
+         mock.patch("stableavatar_tpu.models.clip.preprocess_reference_image",
+                    lambda x, cfg: x), \
+         mock.patch("stableavatar_tpu.models.wav2vec.wav2vec2_forward_jit",
+                    lambda p, cfg, w: jnp.ones((b, 10, 8))):
+        enc = encode_batch(models, batch, np.random.default_rng(0),
+                           t2v_zero_prob=0.0)
+
+    ch = np.asarray(enc["inpaint_latents"])[:, :4]  # [B, 4, Tl, lh, lw]
+    # linear resize leaves ~1-ulp fuzz on the constant regions
+    np.testing.assert_allclose(ch[:, :, 0], np.ones_like(ch[:, :, 0]), atol=1e-6)
+    np.testing.assert_allclose(ch[:, :, 1:], np.zeros_like(ch[:, :, 1:]), atol=1e-6)
