@@ -39,6 +39,7 @@ def build_parser():
     p.add_argument("--learning_rate", type=float, default=2e-5)
     p.add_argument("--adam_weight_decay", type=float, default=3e-2)
     p.add_argument("--adam_epsilon", type=float, default=1e-10)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--max_grad_norm", type=float, default=0.05)
     p.add_argument("--initial_grad_norm_ratio", type=float, default=5.0)
     p.add_argument("--abnormal_norm_clip_start", type=int, default=1000)
@@ -114,6 +115,7 @@ def main(argv=None):
         adam_eps=args.adam_epsilon,
         max_grad_norm=args.max_grad_norm,
         initial_grad_norm_ratio=args.initial_grad_norm_ratio,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
         abnormal_norm_clip_start=args.abnormal_norm_clip_start,
         motion_sub_loss=args.motion_sub_loss,
         motion_sub_loss_ratio=args.motion_sub_loss_ratio,

@@ -54,6 +54,10 @@ class TrainConfig:
     video_sample_n_frames: int = 81
     use_8bit_adam: bool = False
     use_came: bool = False
+    # reference --gradient_accumulation_steps (accelerator.accumulate,
+    # train_1B_square.py:786,1083): optax.MultiSteps accumulates k
+    # micro-grads and applies the chain (incl. anomaly clip) at the sync step
+    gradient_accumulation_steps: int = 1
 
 
 def train_sigmas(num_train_timesteps: int = 1000, shift: float = 5.0) -> jnp.ndarray:
@@ -85,6 +89,33 @@ def trainable_mask(params, train_all: bool = False):
     return jax.tree_util.tree_map_with_path(mark, params)
 
 
+def anomaly_clip_transform(
+    max_grad_norm: float, initial_ratio: float, decay_steps: int
+) -> optax.GradientTransformation:
+    """Anomaly-aware global-norm clipping (`train_1B_square.py:1304-1315`)
+    as an optax transform: under MultiSteps accumulation it fires at the
+    SYNC step on the accumulated gradients — exactly where the reference
+    calls `accelerator.clip_grad_norm_` (under sync_gradients).  The
+    optimizer-step counter lives in the transform state (checkpointed with
+    opt_state, so resume keeps the decay schedule position)."""
+
+    def init(params):
+        del params
+        return {"count": jnp.zeros([], jnp.int32)}
+
+    def update(updates, state, params=None):
+        del params
+        gnorm = optax.global_norm(updates)
+        max_norm = anomaly_aware_max_norm(
+            gnorm, max_grad_norm, initial_ratio, decay_steps, state["count"]
+        )
+        scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
+        updates = jax.tree.map(lambda g: g * scale, updates)
+        return updates, {"count": state["count"] + 1}
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: TrainConfig, mask=None) -> optax.GradientTransformation:
     if cfg.use_came:
         # reference --use_came hyperparams (train_1B_square.py:944-949)
@@ -107,8 +138,17 @@ def make_optimizer(cfg: TrainConfig, mask=None) -> optax.GradientTransformation:
             eps=cfg.adam_eps,
             weight_decay=cfg.weight_decay,
         )
+    tx = optax.chain(
+        anomaly_clip_transform(
+            cfg.max_grad_norm, cfg.initial_grad_norm_ratio,
+            cfg.abnormal_norm_clip_start,
+        ),
+        tx,
+    )
     if mask is not None:
         tx = optax.masked(tx, mask)
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
     return tx
 
 
@@ -178,17 +218,11 @@ def train_step(
 
     loss, grads = jax.value_and_grad(loss_fn)(params)
 
+    # anomaly-aware clipping lives in the optimizer chain
+    # (anomaly_clip_transform) so it applies to ACCUMULATED grads at the
+    # sync step under gradient accumulation; gnorm here is the raw
+    # (pre-clip) metric
     gnorm = optax.global_norm(grads)
-    max_norm = anomaly_aware_max_norm(
-        gnorm,
-        train_cfg.max_grad_norm,
-        train_cfg.initial_grad_norm_ratio,
-        train_cfg.abnormal_norm_clip_start,
-        step,
-    )
-    scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
-    grads = jax.tree.map(lambda g: g * scale, grads)
-
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, {"loss": loss, "grad_norm": gnorm}

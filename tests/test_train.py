@@ -240,3 +240,54 @@ def test_came_optimizer_converges_and_shapes():
     st2 = tx2.init(params)
     up, _ = tx2.update(grads, st2, params)
     assert all(np.isfinite(np.asarray(u)).all() for u in jax.tree.leaves(up))
+
+
+def test_gradient_accumulation_multisteps():
+    """gradient_accumulation_steps=k: params update only at the k-th micro
+    step, and the sync update equals one k=1 step on the MEAN of the micro
+    gradients (reference accelerator.accumulate semantics,
+    train_1B_square.py:786,1083)."""
+    import optax
+
+    from stableavatar_tpu.train.trainer import make_optimizer
+
+    params = {"w": jnp.ones(4)}
+    g1 = {"w": jnp.full(4, 0.02)}
+    g2 = {"w": jnp.full(4, 0.04)}
+
+    cfg_acc = TrainConfig(learning_rate=1e-2, weight_decay=0.0,
+                          gradient_accumulation_steps=2)
+    tx = make_optimizer(cfg_acc)
+    st = tx.init(params)
+    up1, st = tx.update(g1, st, params)
+    assert float(optax.global_norm(up1)) == 0.0  # micro step: no update
+    p_mid = optax.apply_updates(params, up1)
+    np.testing.assert_array_equal(np.asarray(p_mid["w"]), np.asarray(params["w"]))
+    up2, st = tx.update(g2, st, p_mid)
+    p_acc = optax.apply_updates(p_mid, up2)
+
+    cfg_one = TrainConfig(learning_rate=1e-2, weight_decay=0.0)
+    tx1 = make_optimizer(cfg_one)
+    st1 = tx1.init(params)
+    gm = {"w": (g1["w"] + g2["w"]) / 2.0}
+    up, _ = tx1.update(gm, st1, params)
+    p_one = optax.apply_updates(params, up)
+
+    np.testing.assert_allclose(np.asarray(p_acc["w"]), np.asarray(p_one["w"]),
+                               rtol=1e-6)
+
+
+def test_anomaly_clip_transform_clips_in_chain():
+    """The chained anomaly clip bounds the update magnitude exactly like the
+    old in-step clipping did (bound = max_norm*ratio at count 0)."""
+    import optax
+
+    from stableavatar_tpu.train.trainer import anomaly_clip_transform
+
+    clip = anomaly_clip_transform(0.05, 5.0, 100)
+    st = clip.init(None)
+    big = {"w": jnp.full(4, 10.0)}
+    out, st = clip.update(big, st)
+    # count 0 -> bound = 0.05*5.0 = 0.25
+    np.testing.assert_allclose(float(optax.global_norm(out)), 0.25, rtol=1e-4)
+    assert int(st["count"]) == 1
