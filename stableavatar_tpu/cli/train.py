@@ -40,6 +40,10 @@ def build_parser():
     p.add_argument("--adam_weight_decay", type=float, default=3e-2)
     p.add_argument("--adam_epsilon", type=float, default=1e-10)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--lr_scheduler", type=str, default="constant",
+                   choices=["constant", "constant_with_warmup", "linear",
+                            "cosine", "cosine_with_restarts", "polynomial"])
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
     p.add_argument("--max_grad_norm", type=float, default=0.05)
     p.add_argument("--initial_grad_norm_ratio", type=float, default=5.0)
     p.add_argument("--abnormal_norm_clip_start", type=int, default=1000)
@@ -116,6 +120,9 @@ def main(argv=None):
         max_grad_norm=args.max_grad_norm,
         initial_grad_norm_ratio=args.initial_grad_norm_ratio,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
+        lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps,
+        lr_total_steps=args.max_train_steps,
         abnormal_norm_clip_start=args.abnormal_norm_clip_start,
         motion_sub_loss=args.motion_sub_loss,
         motion_sub_loss_ratio=args.motion_sub_loss_ratio,

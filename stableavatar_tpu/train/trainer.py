@@ -58,6 +58,12 @@ class TrainConfig:
     # train_1B_square.py:786,1083): optax.MultiSteps accumulates k
     # micro-grads and applies the chain (incl. anomaly clip) at the sync step
     gradient_accumulation_steps: int = 1
+    # reference --lr_scheduler/--lr_warmup_steps (train_1B_square.py:399-409,
+    # diffusers get_scheduler surface); decaying schedules need
+    # lr_total_steps (the reference passes max_train_steps)
+    lr_scheduler: str = "constant"
+    lr_warmup_steps: int = 500
+    lr_total_steps: Optional[int] = None
 
 
 def train_sigmas(num_train_timesteps: int = 1000, shift: float = 5.0) -> jnp.ndarray:
@@ -87,6 +93,43 @@ def trainable_mask(params, train_all: bool = False):
         return any(s in joined for s in ("vocal", "audio", "attn", "blocks"))
 
     return jax.tree_util.tree_map_with_path(mark, params)
+
+
+def lr_multiplier_schedule(cfg: TrainConfig):
+    """Relative LR multiplier (1.0 = cfg.learning_rate) reproducing the
+    diffusers `get_scheduler` shapes the reference trains with
+    (`train_1B_square.py:399-409,989-994`).  Returned as a schedule over the
+    OPTIMIZER step count so it composes with any inner optimizer via
+    `optax.scale_by_schedule`."""
+    kind = cfg.lr_scheduler
+    warm = max(int(cfg.lr_warmup_steps), 0)
+    total = int(cfg.lr_total_steps or 0)
+
+    def sched(count):
+        c = jnp.asarray(count, jnp.float32)
+        wu = jnp.where(warm > 0, jnp.minimum(c / max(warm, 1), 1.0), 1.0)
+        if kind == "constant":
+            return jnp.ones_like(c)
+        if kind == "constant_with_warmup":
+            return wu
+        if total <= 0:
+            raise ValueError(f"lr_scheduler={kind!r} needs lr_total_steps")
+        prog = jnp.clip((c - warm) / max(total - warm, 1), 0.0, 1.0)
+        if kind == "linear":
+            return wu * (1.0 - prog)
+        if kind == "cosine":  # diffusers num_cycles=0.5: half cosine to 0
+            return wu * 0.5 * (1.0 + jnp.cos(jnp.pi * prog))
+        if kind == "cosine_with_restarts":  # diffusers num_cycles=1
+            frac = (prog * 1.0) % 1.0
+            return wu * jnp.where(
+                prog >= 1.0, 0.0, 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+            )
+        if kind == "polynomial":  # diffusers lr_end=1e-7, power=1.0
+            lr_end_rel = 1e-7 / max(cfg.learning_rate, 1e-30)
+            return wu * ((1.0 - lr_end_rel) * (1.0 - prog) + lr_end_rel)
+        raise ValueError(f"unknown lr_scheduler {kind!r}")
+
+    return sched
 
 
 def anomaly_clip_transform(
@@ -138,13 +181,18 @@ def make_optimizer(cfg: TrainConfig, mask=None) -> optax.GradientTransformation:
             eps=cfg.adam_eps,
             weight_decay=cfg.weight_decay,
         )
-    tx = optax.chain(
+    parts = [
         anomaly_clip_transform(
             cfg.max_grad_norm, cfg.initial_grad_norm_ratio,
             cfg.abnormal_norm_clip_start,
         ),
         tx,
-    )
+    ]
+    if cfg.lr_scheduler != "constant":  # diffusers "constant" has no warmup
+        # multiplies the inner optimizer's (already -lr-scaled) updates by
+        # the relative schedule — works for adamw / 8-bit / CAME alike
+        parts.append(optax.scale_by_schedule(lr_multiplier_schedule(cfg)))
+    tx = optax.chain(*parts)
     if mask is not None:
         tx = optax.masked(tx, mask)
     if cfg.gradient_accumulation_steps > 1:

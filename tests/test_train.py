@@ -291,3 +291,30 @@ def test_anomaly_clip_transform_clips_in_chain():
     # count 0 -> bound = 0.05*5.0 = 0.25
     np.testing.assert_allclose(float(optax.global_norm(out)), 0.25, rtol=1e-4)
     assert int(st["count"]) == 1
+
+
+def test_lr_schedules_match_diffusers_get_scheduler():
+    """Our relative LR multiplier matches transformers.get_scheduler (the
+    exact implementation the reference trains with,
+    train_1B_square.py:989-994) at sampled steps for every supported kind."""
+    import torch
+    from transformers import get_scheduler
+
+    from stableavatar_tpu.train.trainer import lr_multiplier_schedule
+
+    total, warm, base = 200, 20, 1e-2
+    for kind in ("constant", "constant_with_warmup", "linear", "cosine",
+                 "cosine_with_restarts", "polynomial"):
+        opt = torch.optim.AdamW([torch.nn.Parameter(torch.zeros(1))], lr=base)
+        ref = get_scheduler(kind, opt, num_warmup_steps=warm,
+                            num_training_steps=total)
+        ours = lr_multiplier_schedule(
+            TrainConfig(learning_rate=base, lr_scheduler=kind,
+                        lr_warmup_steps=warm, lr_total_steps=total)
+        )
+        for step in range(0, total + 1):
+            want = ref.get_last_lr()[0] / base
+            got = float(ours(step))
+            assert abs(got - want) < 1e-5, (kind, step, got, want)
+            opt.step()
+            ref.step()
