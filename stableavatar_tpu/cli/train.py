@@ -44,6 +44,9 @@ def build_parser():
                    choices=["constant", "constant_with_warmup", "linear",
                             "cosine", "cosine_with_restarts", "polynomial"])
     p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--scale_lr", action="store_true",
+                   help="scale LR by accum * batch * dp degree "
+                        "(train_1B_square.py:903-906)")
     p.add_argument("--max_grad_norm", type=float, default=0.05)
     p.add_argument("--initial_grad_norm_ratio", type=float, default=5.0)
     p.add_argument("--abnormal_norm_clip_start", type=int, default=1000)
@@ -112,6 +115,11 @@ def main(argv=None):
     # encode_prompt_ids routes by param device (pipelines/common.py)
     args.t5_cpu = bool(getattr(args, "low_vram", False))
     models = load_models(args)
+
+    if args.scale_lr:
+        args.learning_rate = (args.learning_rate
+                              * args.gradient_accumulation_steps
+                              * args.train_batch_size * args.dp)
 
     tc = TrainConfig(
         learning_rate=args.learning_rate,
