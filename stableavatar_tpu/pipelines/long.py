@@ -257,7 +257,7 @@ def _sweep_step_tc(
     static_argnames=(
         "dit_cfg", "windows", "overlap", "text_scale", "audio_scale",
         "rope_split", "attn_quant", "attn_impl", "blend", "temporal_ratio",
-        "vocal_lens", "honor_vocal_k_lens", "solver",
+        "vocal_lens", "honor_vocal_k_lens", "solver", "compute_flags",
     ),
     donate_argnums=(1, 2),
 )
@@ -270,6 +270,7 @@ def _sweep_step_ms(
     text_ctx,
     clip_ctx,
     vocal_embs,
+    residual,  # [3, L_tokens, dim] TeaCache residual carry (zeros if unused)
     t,
     sigma,
     ramp,
@@ -286,6 +287,7 @@ def _sweep_step_ms(
     vocal_lens,
     honor_vocal_k_lens: bool,
     solver: str,  # "dpm" | "unipc"
+    compute_flags=None,  # static tuple[bool] per window (TeaCache), or None
 ):
     """Single-dispatch MULTISTEP sweep (DPM++(2M) / UniPC-2).
 
@@ -312,12 +314,27 @@ def _sweep_step_ms(
         clip_len_w = (f - 1) * temporal_ratio + 1
         lat_win = jax.lax.dynamic_slice_in_dim(latents_all, s, f, axis=2)
         lat3 = jnp.concatenate([lat_win] * 3, axis=0).astype(jnp.bfloat16)
-        noise_pred = dit_forward(
-            params, dit_cfg, lat3, tb, text_ctx, clip_ctx, y_full[:, :, :f],
-            vocal_embs[wi][:, : vocal_lens[wi]], video_sample_n_frames=clip_len_w,
-            vocal_cfg_tile=True, rope_split=rope_split, attn_quant=attn_quant,
-            attn_impl=attn_impl, honor_vocal_k_lens=honor_vocal_k_lens,
-        )
+        if compute_flags is not None and not compute_flags[wi]:
+            # TeaCache skip: replay the cached block-stack residual
+            noise_pred = dit_forward_skip(
+                params, dit_cfg, lat3, tb, y_full[:, :, :f], residual
+            )
+        elif compute_flags is not None:
+            noise_pred, residual = dit_forward(
+                params, dit_cfg, lat3, tb, text_ctx, clip_ctx, y_full[:, :, :f],
+                vocal_embs[wi][:, : vocal_lens[wi]],
+                video_sample_n_frames=clip_len_w, vocal_cfg_tile=True,
+                return_residual=True, rope_split=rope_split,
+                attn_quant=attn_quant, attn_impl=attn_impl,
+                honor_vocal_k_lens=honor_vocal_k_lens,
+            )
+        else:
+            noise_pred = dit_forward(
+                params, dit_cfg, lat3, tb, text_ctx, clip_ctx, y_full[:, :, :f],
+                vocal_embs[wi][:, : vocal_lens[wi]], video_sample_n_frames=clip_len_w,
+                vocal_cfg_tile=True, rope_split=rope_split, attn_quant=attn_quant,
+                attn_impl=attn_impl, honor_vocal_k_lens=honor_vocal_k_lens,
+            )
         v = guidance_combine_long(noise_pred, text_scale, audio_scale)
         if solver == "dpm":
             x_t, x0 = dpm_apply(
@@ -348,7 +365,7 @@ def _sweep_step_ms(
             new_lat = jnp.concatenate([blended, new_lat[:, :, overlap:]], axis=2)
         pred = jax.lax.dynamic_update_slice_in_dim(pred, new_lat, s, axis=2)
         prev_end = e
-    return pred, {k: jnp.stack(vs) for k, vs in new_state.items()}
+    return pred, {k: jnp.stack(vs) for k, vs in new_state.items()}, residual
 
 
 def precompute_teacache_plan(teacache, e0_steps, n_windows: int):
@@ -482,14 +499,10 @@ def generate_long(
         # the reference injects any scheduler into this pipeline and resets
         # `_step_index` per window (`wan_inference_long_pipeline.py:715`);
         # we carry an explicit per-window solver history instead (see
-        # `_sweep_step_ms`).  TeaCache skip plans are calibrated on the
-        # Euler path; combining them is out of scope (the reference never
-        # runs TeaCache in this pipeline either).
-        if teacache is not None:
-            raise ValueError(
-                "TeaCache is only supported with scheduler='euler' in the "
-                "long pipeline; disable one of them"
-            )
+        # `_sweep_step_ms`).  TeaCache composes: its skip plan depends only
+        # on e0(t) and the residual replay works under any solver (both act
+        # on the velocity prediction) — the reference combines them only
+        # with Euler because inference.py hardwires that scheduler.
         from stableavatar_tpu.schedulers.fm_solvers import dpm_coeffs, unipc_coeffs
 
         fpb0 = windows[0][1] - windows[0][0]
@@ -564,11 +577,19 @@ def generate_long(
         sigma, sigma_next = sched.sigmas[i], sched.sigmas[i + 1]
         blend = bool(i != 0 and ramp is not None)
         if ms_state is not None:
-            latents_all, ms_state = _sweep_step_ms(
-                models.dit_params, latents_all, ms_state, co_steps[i], y_full,
-                text_ctx, clip_ctx, vocal_stacked, t, sigma, ramp_arg,
-                blend=blend, solver=solver_kind, **common,
+            res_in = (
+                residual_carry if residual_carry is not None
+                else jnp.zeros((1,), jnp.bfloat16)  # unused placeholder
             )
+            latents_all, ms_state, res_out = _sweep_step_ms(
+                models.dit_params, latents_all, ms_state, co_steps[i], y_full,
+                text_ctx, clip_ctx, vocal_stacked, res_in, t, sigma, ramp_arg,
+                blend=blend, solver=solver_kind,
+                compute_flags=tc_plan[i] if tc_plan is not None else None,
+                **common,
+            )
+            if residual_carry is not None:
+                residual_carry = res_out
         elif tc_plan is None:
             latents_all = _sweep_step(
                 models.dit_params, latents_all, y_full, text_ctx, clip_ctx,

@@ -486,3 +486,42 @@ def test_generate_long_color_correction(tiny_models):
     d_base = np.abs(base.videos.mean(axis=(0, 2, 3, 4)) - ref01.mean(axis=(0, 2, 3)))
     d_cc = np.abs(cc.videos.mean(axis=(0, 2, 3, 4)) - ref01.mean(axis=(0, 2, 3)))
     assert d_cc.sum() < d_base.sum()
+
+
+def test_generate_long_multistep_with_teacache(tiny_models):
+    """TeaCache composes with the multistep solvers in generate_long
+    (exceed-parity: the reference only combines TeaCache with its hardwired
+    Euler scheduler).  A never-skipping TeaCache must be bit-identical to
+    the plain unipc path; an always-skipping one must run finite and
+    actually skip."""
+    from stableavatar_tpu.models.teacache import TeaCache
+
+    rng = np.random.default_rng(13)
+    ref = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    wav = rng.standard_normal(18 * 640).astype(np.float32) * 0.1
+    kwargs = dict(
+        ref_image=ref, vocal_waveform=wav, prompt="speech",
+        num_inference_steps=4, clip_length=9, overlap_window_length=1,
+        seed=3, output_type="latent", scheduler="unipc",
+    )
+
+    tiny_models.teacache = None
+    plain = generate_long(tiny_models, **kwargs)
+
+    tiny_models.teacache = TeaCache([0.0, 0.0, 0.0, 0.0, 1e9], 4,
+                                    rel_l1_thresh=0.0, num_skip_start_steps=99)
+    never_skip = generate_long(tiny_models, **kwargs)
+    assert tiny_models.teacache.skipped_calls == 0
+    np.testing.assert_array_equal(
+        np.asarray(plain.latents), np.asarray(never_skip.latents)
+    )
+
+    # zero polynomial -> accumulated distance stays 0 < thresh -> skips on
+    # every non-forced call; num_steps uses the as-built per-CALL counter
+    # (steps x windows) so whole steps become all-skip rows
+    tiny_models.teacache = TeaCache([0.0, 0.0, 0.0, 0.0, 0.0], 4 * 2,
+                                    rel_l1_thresh=1.0, num_skip_start_steps=0)
+    skipping = generate_long(tiny_models, **kwargs)
+    assert tiny_models.teacache.skipped_calls > 0
+    assert np.isfinite(np.asarray(skipping.latents)).all()
+    tiny_models.teacache = None
