@@ -308,3 +308,36 @@ def test_ring_partials_full_dit_shape():
     np.testing.assert_allclose(
         np.asarray(o), np.asarray(want), rtol=5e-4, atol=5e-4
     )
+
+
+def test_generate_long_under_mesh_matches_single_device():
+    """The CLI's sharded-inference path (mesh_context + shard_params +
+    generate_long) produces the same latents as the unsharded run — the
+    sweep-step programs compile and execute correctly under GSPMD
+    (fsdp=2, sp=2 on the virtual 8-device CPU mesh)."""
+    from tests.test_pipeline import make_tiny_models
+    from stableavatar_tpu.parallel.mesh import make_mesh, mesh_context
+    from stableavatar_tpu.parallel.sharding import shard_params
+    from stableavatar_tpu.pipelines.long import generate_long
+
+    models = make_tiny_models()
+    rng = np.random.default_rng(5)
+    ref = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    wav = rng.standard_normal(18 * 640).astype(np.float32) * 0.1
+    kwargs = dict(
+        ref_image=ref, vocal_waveform=wav, prompt="speech",
+        num_inference_steps=2, clip_length=9, overlap_window_length=1,
+        seed=4, output_type="latent",
+    )
+
+    base = generate_long(models, **kwargs)
+
+    mesh = make_mesh(dp=1, fsdp=2, sp=2)
+    with mesh_context(mesh):
+        models.dit_params = shard_params(models.dit_params, mesh)
+        sharded = generate_long(models, **kwargs)
+
+    np.testing.assert_allclose(
+        np.asarray(sharded.latents), np.asarray(base.latents),
+        rtol=2e-3, atol=2e-4,
+    )
