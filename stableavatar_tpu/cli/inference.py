@@ -42,8 +42,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--sample_steps", type=int, default=50)
-    p.add_argument("--text_guide_scale", type=float, default=3.0)
-    p.add_argument("--audio_guide_scale", type=float, default=5.0)
+    # reference spellings --sample_*_guide_scale accepted as aliases
+    # (inference.py:343-351; defaults follow inference.sh:23-24, the
+    # recommended operating point, not the reference argparse defaults)
+    p.add_argument("--text_guide_scale", "--sample_text_guide_scale",
+                   type=float, default=3.0)
+    p.add_argument("--audio_guide_scale", "--sample_audio_guide_scale",
+                   type=float, default=5.0)
+    p.add_argument("--sample_shift", type=float, default=None,
+                   help="flow-matching sigma shift (inference.py:338-342); "
+                        "None keeps the config default 5.0")
     p.add_argument("--clip_sample_n_frames", type=int, default=81)
     p.add_argument("--overlap_window_length", type=int, default=15)
     p.add_argument("--overlapping_weight_scheme", type=str, default="uniform",
@@ -69,6 +77,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fps", type=int, default=25)
     p.add_argument("--sample_rate", type=int, default=16000)
     p.add_argument("--motion_frame", type=int, default=25)  # accepted-unused (parity)
+    # parsed-only in the reference too (trainer-flag residue in its
+    # inference argparse, inference.py:241-299): accepted for CLI compat
+    p.add_argument("--input_perturbation", type=float, default=0)
+    p.add_argument("--revision", type=str, default=None)
+    p.add_argument("--variant", type=str, default=None)
+    p.add_argument("--report_to", type=str, default="tensorboard")
+    p.add_argument("--validation_epochs", type=int, default=1)
+    p.add_argument("--offload_model", action="store_true",
+                   help="reference parses this separately from "
+                        "GPU_memory_mode (inference.py:302-304); here any "
+                        "offload request maps to the same T5-on-host analog")
     # model family
     p.add_argument("--model_family", type=str, default="1.3B", choices=["1.3B", "14B"])
     # memory / speed
@@ -163,8 +182,10 @@ def load_models(args):
     # mode but model_full_load keeps it in HOST RAM and encodes on the CPU
     # backend (the reference's --t5_cpu, which it only parses;
     # inference.py:316-324) — encode_prompt_ids routes by param device.
-    t5_host = getattr(args, "t5_cpu", False) or (
-        getattr(args, "GPU_memory_mode", "model_full_load") != "model_full_load"
+    t5_host = (
+        getattr(args, "t5_cpu", False)
+        or getattr(args, "offload_model", False)
+        or getattr(args, "GPU_memory_mode", "model_full_load") != "model_full_load"
     )
     t5_device_ctx = (
         jax.default_device(jax.local_devices(backend="cpu")[0])
@@ -385,6 +406,7 @@ def main(argv=None):
             fps=args.fps,
             sr=args.sample_rate,
             seed=args.seed,
+            shift=(args.sample_shift if args.sample_shift is not None else 5.0),
             color_correction_strength=args.color_correction_strength,
         )
 

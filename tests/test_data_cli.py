@@ -121,6 +121,24 @@ def test_cli_flag_surface():
     assert args.fsdp_dit and args.enable_teacache
     assert args.sample_solver == "unipc" and args.solver_order == 2
 
+    # every flag named anywhere in the reference CLI parses here (full
+    # surface incl. its parsed-only trainer residue and the
+    # --sample_*_guide_scale spellings)
+    args2 = p.parse_args([
+        "--validation_reference_path", "x.png",
+        "--validation_driven_audio_path", "a.wav",
+        "--sample_text_guide_scale", "4.5",
+        "--sample_audio_guide_scale", "4.0",
+        "--sample_shift", "3.0",
+        "--offload_model",
+        "--input_perturbation", "0.1",
+        "--revision", "main",
+        "--variant", "bf16",
+        "--motion_frame", "25",
+    ])
+    assert args2.text_guide_scale == 4.5 and args2.audio_guide_scale == 4.0
+    assert args2.sample_shift == 3.0 and args2.offload_model
+
 
 def test_train_cli_flag_surface():
     from stableavatar_tpu.cli.train import build_parser
