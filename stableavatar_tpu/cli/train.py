@@ -57,8 +57,31 @@ def build_parser():
                    help="maps to int8 weight storage on TPU (optax state stays fp32)")
     p.add_argument("--use_came", action="store_true",
                    help="CAME optimizer (reference --use_came, train/came.py)")
-    p.add_argument("--uniform_sampling", action="store_true", default=True)
-    p.add_argument("--weighting_scheme", type=str, default=None)
+    import argparse as _argparse
+
+    p.add_argument("--uniform_sampling", action=_argparse.BooleanOptionalAction,
+                   default=True,
+                   help="stratified-uniform timestep sampling; "
+                        "--no-uniform_sampling switches to density sampling "
+                        "per --weighting_scheme (train_1B_square.py:1206-1219)")
+    p.add_argument("--weighting_scheme", type=str, default=None,
+                   choices=[None, "sigma_sqrt", "cosmap", "logit_normal", "mode"])
+    p.add_argument("--logit_mean", type=float, default=0.0)
+    p.add_argument("--logit_std", type=float, default=1.0)
+    p.add_argument("--mode_scale", type=float, default=1.29)
+    p.add_argument("--train_sampling_steps", type=int, default=1000)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--train_mode", type=str, default="inpaint",
+                   choices=["inpaint", "normal"])
+    p.add_argument("--tokenizer_max_length", type=int, default=226)
+    p.add_argument("--vae_mini_batch", type=int, default=1,
+                   help="accepted for parity; the jitted streaming encode "
+                        "handles the full batch in fixed memory")
+    p.add_argument("--num_train_epochs", type=int, default=None,
+                   help="accepted for parity; this loop is step-based "
+                        "(--max_train_steps), like the reference's "
+                        "max_train_steps override")
     p.add_argument("--motion_sub_loss", action="store_true")
     p.add_argument("--motion_sub_loss_ratio", type=float, default=0.25)
     # lora
@@ -136,6 +159,12 @@ def main(argv=None):
         motion_sub_loss_ratio=args.motion_sub_loss_ratio,
         weighting_scheme=args.weighting_scheme,
         uniform_sampling=args.uniform_sampling,
+        logit_mean=args.logit_mean,
+        logit_std=args.logit_std,
+        mode_scale=args.mode_scale,
+        num_train_timesteps=args.train_sampling_steps,
+        adam_beta1=args.adam_beta1,
+        adam_beta2=args.adam_beta2,
         remat=args.gradient_checkpointing,
         video_sample_n_frames=args.video_sample_n_frames,
         use_8bit_adam=args.use_8bit_adam,
@@ -197,6 +226,7 @@ def main(argv=None):
             checkpoints_total_limit=args.checkpoints_total_limit,
             resume_from_checkpoint=args.resume_from_checkpoint,
             seed=args.seed,
+            train_mode=args.train_mode,
             validation_steps=args.validation_steps,
             validation_cfg=validation_cfg,
         )

@@ -253,6 +253,8 @@ def train(
     validation_cfg: Optional[dict] = None,
     async_checkpointing: bool = True,
     preemption_signals: tuple = None,
+    train_mode: str = "inpaint",  # reference --train_mode ("normal" disables
+    # the t2v conditioning dropout, train_1B_square.py:1092)
 ):
     """Main loop (reference `main()` §3.4).
 
@@ -308,7 +310,7 @@ def train(
         for batch in batches:
             if step >= max_train_steps:
                 break
-            enc = encode_batch(models, batch, rng)
+            enc = encode_batch(models, batch, rng, train_mode=train_mode)
             is_clip_level = enc.pop("is_clip_level_modeling", False)
             key, sub = jax.random.split(key)
             params, opt_state, metrics = step_fn(

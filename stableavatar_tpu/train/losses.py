@@ -49,6 +49,27 @@ def logit_normal_timestep_indices(
     return (u * num_train_timesteps).astype(jnp.int32)
 
 
+def density_timestep_indices(
+    key: jax.Array,
+    batch_size: int,
+    scheme: Optional[str],
+    num_train_timesteps: int = 1000,
+    logit_mean: float = 0.0,
+    logit_std: float = 1.0,
+    mode_scale: float = 1.29,
+) -> jnp.ndarray:
+    """diffusers `compute_density_for_timestep_sampling` — the reference's
+    `uniform_sampling=False` branch (`train_1B_square.py:1206-1214`)."""
+    if scheme == "logit_normal":
+        return logit_normal_timestep_indices(
+            key, batch_size, num_train_timesteps, logit_mean, logit_std
+        )
+    u = jax.random.uniform(key, (batch_size,))
+    if scheme == "mode":
+        u = 1 - u - mode_scale * (jnp.cos(jnp.pi * u / 2) ** 2 - 1 + u)
+    return (u * num_train_timesteps).astype(jnp.int32)
+
+
 def loss_weighting(scheme: Optional[str], sigmas: jnp.ndarray) -> jnp.ndarray:
     """diffusers `compute_loss_weighting_for_sd3`."""
     if scheme == "sigma_sqrt":

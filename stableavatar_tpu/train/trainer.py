@@ -48,6 +48,9 @@ class TrainConfig:
     motion_sub_loss_ratio: float = 0.25
     weighting_scheme: Optional[str] = None
     uniform_sampling: bool = True
+    logit_mean: float = 0.0
+    logit_std: float = 1.0
+    mode_scale: float = 1.29
     num_train_timesteps: int = 1000
     shift: float = 5.0
     remat: bool = True
@@ -229,7 +232,18 @@ def train_step(
     k_noise, k_t, k_mask = jax.random.split(key, 3)
 
     noise = jax.random.normal(k_noise, latents.shape, dtype=jnp.float32)
-    idx = sample_timestep_indices(k_t, b, train_cfg.num_train_timesteps)
+    if train_cfg.uniform_sampling:
+        idx = sample_timestep_indices(k_t, b, train_cfg.num_train_timesteps)
+    else:
+        # density-based sampling (train_1B_square.py:1206-1214)
+        from stableavatar_tpu.train.losses import density_timestep_indices
+
+        idx = density_timestep_indices(
+            k_t, b, train_cfg.weighting_scheme,
+            train_cfg.num_train_timesteps, train_cfg.logit_mean,
+            train_cfg.logit_std, train_cfg.mode_scale,
+        )
+        idx = jnp.clip(idx, 0, train_cfg.num_train_timesteps - 1)
     sigma = sigmas_table[idx].reshape(b, 1, 1, 1, 1)
     timesteps = sigma[:, 0, 0, 0, 0] * train_cfg.num_train_timesteps
 

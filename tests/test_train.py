@@ -318,3 +318,21 @@ def test_lr_schedules_match_diffusers_get_scheduler():
             assert abs(got - want) < 1e-5, (kind, step, got, want)
             opt.step()
             ref.step()
+
+
+def test_density_timestep_sampling_distributions():
+    """compute_density_for_timestep_sampling parity: logit_normal
+    concentrates mid-range, mode/uniform cover [0, N); all within bounds
+    after the trainer's clip."""
+    from stableavatar_tpu.train.losses import density_timestep_indices
+
+    key = jax.random.PRNGKey(0)
+    n = 4096
+    for scheme in (None, "logit_normal", "mode"):
+        idx = np.asarray(density_timestep_indices(key, n, scheme, 1000))
+        idx = np.clip(idx, 0, 999)
+        assert idx.min() >= 0 and idx.max() <= 999
+    ln = np.asarray(density_timestep_indices(key, n, "logit_normal", 1000))
+    un = np.asarray(density_timestep_indices(key, n, None, 1000))
+    # logit-normal concentrates mass in the middle vs uniform
+    assert np.std(ln) < np.std(un)
