@@ -251,13 +251,24 @@ def load_models(args):
         from transformers import AutoTokenizer
 
         hf_tok = AutoTokenizer.from_pretrained(tok_dir)
+        # training tokenizes at --tokenizer_max_length (226 default,
+        # train_1B_square.py:636-640); inference at the model text_len (512)
+        tok_len = int(getattr(args, "tokenizer_max_length", 0) or t5_cfg.text_len)
 
         def tokenizer(text):
             out = hf_tok(
-                text, padding="max_length", max_length=t5_cfg.text_len,
+                text, padding="max_length", max_length=tok_len,
                 truncation=True, add_special_tokens=True, return_tensors="np",
             )
-            return out["input_ids"][0], out["attention_mask"][0]
+            ids = out["input_ids"][0]
+            mask = out["attention_mask"][0]
+            if tok_len < t5_cfg.text_len:  # re-pad to the model context
+                import numpy as _np
+
+                pad = t5_cfg.text_len - tok_len
+                ids = _np.pad(ids, (0, pad))
+                mask = _np.pad(mask, (0, pad))
+            return ids, mask
     else:
         # no umT5 tokenizer on disk (random-weight smoke runs): fall back to
         # a deterministic byte-level tokenizer so the CLI still runs e2e
