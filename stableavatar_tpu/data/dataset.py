@@ -178,13 +178,17 @@ class TalkingVideoDataset:
         # on the wav2vec EMBEDDINGS, matching the reference call site
         # (train_1B_square.py:1193-1194) — not here on the raw waveform.
 
-        # motion score from frame cosine similarity (`:283-296`)
-        flat = pixels.reshape(3, cl, -1)
-        a, b = flat[:, :-1], flat[:, 1:]
-        cos = (a * b).sum(-1) / np.maximum(
-            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1), 1e-6
-        )
-        motion_id = float(np.mean(cos))
+        # motion score (`:283-296`): stride-8 whole-frame cosine rescaled to
+        # [0,1], plus a first-vs-last term; motion_id = (1 - mean) * 100
+        fr = pixels.transpose(1, 0, 2, 3).reshape(cl, -1)
+
+        def _cos01(u, v):
+            c = float(np.dot(u, v) / max(np.linalg.norm(u) * np.linalg.norm(v), 1e-8))
+            return (c + 1.0) / 2.0
+
+        sims = [_cos01(fr[i], fr[i + 8]) for i in range(0, cl - 8, 8)]
+        sims.append(_cos01(fr[0], fr[-1]))
+        motion_id = (1.0 - sum(sims) / len(sims)) * 100.0
 
         prompt = ""
         for k, v in PROMPTS.items():
