@@ -319,9 +319,24 @@ def train(
             step += 1
             if step % log_every == 0:
                 loss = float(metrics["loss"])
+                # current LR from the schedule (reference logs it per step,
+                # train_1B_square.py:1384)
+                if train_cfg.lr_scheduler != "constant":
+                    from stableavatar_tpu.train.trainer import lr_multiplier_schedule
+
+                    lr_now = train_cfg.learning_rate * float(
+                        lr_multiplier_schedule(train_cfg)(
+                            step // max(train_cfg.gradient_accumulation_steps, 1)
+                        )
+                    )
+                else:
+                    lr_now = train_cfg.learning_rate
                 history.append({"step": step, "loss": loss, "time": time.time() - t0})
-                logger.log(step, {"train_loss": loss, "grad_norm": float(metrics["grad_norm"])})
-                print(f"step {step} loss {loss:.5f} gnorm {float(metrics['grad_norm']):.4f}")
+                logger.log(step, {"train_loss": loss,
+                                  "grad_norm": float(metrics["grad_norm"]),
+                                  "lr": lr_now})
+                print(f"step {step} loss {loss:.5f} "
+                      f"gnorm {float(metrics['grad_norm']):.4f} lr {lr_now:.2e}")
             if preempted["flag"]:
                 cm.save(step, params, opt_state, wait=True)
                 print(
