@@ -77,6 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fps", type=int, default=25)
     p.add_argument("--sample_rate", type=int, default=16000)
     p.add_argument("--motion_frame", type=int, default=25)  # accepted-unused (parity)
+    # RIFLEx RoPE extrapolation — the reference wires enable_riflex(k=6,
+    # L_test=66, L_test_scale=4.886) but no entry point calls it
+    # (wan_fantasy_transformer3d_1B.py:890-906); opt-in here
+    p.add_argument("--enable_riflex", action="store_true")
+    p.add_argument("--riflex_k", type=int, default=6)
+    p.add_argument("--riflex_L_test", type=int, default=66)
+    p.add_argument("--riflex_scale", type=float, default=4.886)
     # parsed-only in the reference too (trainer-flag residue in its
     # inference argparse, inference.py:241-299): accepted for CLI compat
     p.add_argument("--input_perturbation", type=float, default=0)
@@ -141,6 +148,13 @@ def load_models(args):
     from stableavatar_tpu.utils import checkpoint as ckpt
 
     cfg = WAN_14B if args.model_family == "14B" else WAN_1_3B
+    if getattr(args, "enable_riflex", False):
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg, riflex_k=args.riflex_k, riflex_L_test=args.riflex_L_test,
+            riflex_scale=args.riflex_scale,
+        )
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 5)
 

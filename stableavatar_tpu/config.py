@@ -38,6 +38,12 @@ class DiTConfig:
     clip_tokens: int = 257    # CLIP image tokens prepended to text context
     clip_dim: int = 1280      # CLIP ViT-H feature dim
     rope_max_seq: int = 1024
+    # RIFLEx length-extrapolation RoPE (reference enable_riflex,
+    # `wan_fantasy_transformer3d_1B.py:890-906`; wired-not-enabled by any
+    # reference entry point — opt-in here via --enable_riflex)
+    riflex_k: Optional[int] = None
+    riflex_L_test: Optional[int] = None
+    riflex_scale: Optional[float] = None
     # vocal projector (audio adapter)
     audio_in_dim: int = 768         # wav2vec2-base hidden size
     audio_proj_dim: int = 1536      # vocal token dim fed into k_vocal/v_vocal

@@ -443,7 +443,10 @@ def dit_forward(
     L = tokens.shape[1]
 
     if freqs is None:
-        freqs = rope_freqs_3d(grid, cfg.head_dim)
+        freqs = rope_freqs_3d(
+            grid, cfg.head_dim, riflex_k=cfg.riflex_k,
+            riflex_L_test=cfg.riflex_L_test, riflex_scale=cfg.riflex_scale,
+        )
     rope_packed = pack_split(freqs) if rope_split else None
 
     e, e0 = time_embeddings(params, cfg, t, dtype)

@@ -525,3 +525,37 @@ def test_generate_long_multistep_with_teacache(tiny_models):
     assert tiny_models.teacache.skipped_calls > 0
     assert np.isfinite(np.asarray(skipping.latents)).all()
     tiny_models.teacache = None
+
+
+def test_riflex_config_changes_temporal_rope_only():
+    """RIFLEx on the DiT config reduces the k-th intrinsic temporal
+    frequency (reference enable_riflex,
+    wan_fantasy_transformer3d_1B.py:890-906) and changes the forward output;
+    spatial axes are untouched."""
+    import dataclasses
+
+    from tests.test_pipeline import DIT_E2E  # self-import for clarity
+    from stableavatar_tpu.models.dit import dit_forward, init_dit
+
+    cfg0 = DIT_E2E
+    cfg1 = dataclasses.replace(cfg0, riflex_k=2, riflex_L_test=12,
+                               riflex_scale=4.886)
+    params = init_dit(jax.random.PRNGKey(0), cfg0)
+
+    rng = np.random.default_rng(0)
+    # DIT_E2E geometry: in_dim 12 = z(4) + y(8 = mask 4 + masked latents 4)
+    x = jnp.asarray(rng.standard_normal((3, 4, 5, 8, 8)), jnp.float32)
+    t = jnp.full((3,), 500.0)
+    text = jnp.asarray(rng.standard_normal((3, cfg0.text_len, cfg0.text_dim)), jnp.float32)
+    clip = jnp.asarray(rng.standard_normal((3, cfg0.clip_tokens, cfg0.clip_dim)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((3, 8, 5, 8, 8)), jnp.float32)
+    vocal = jnp.asarray(rng.standard_normal((3, 24, cfg0.audio_in_dim)), jnp.float32)
+
+    # the head is zero-init, so compare the post-blocks residual stream
+    out0, res0 = dit_forward(params, cfg0, x, t, text, clip, y, vocal,
+                             video_sample_n_frames=17, return_residual=True)
+    out1, res1 = dit_forward(params, cfg1, x, t, text, clip, y, vocal,
+                             video_sample_n_frames=17, return_residual=True)
+    assert out0.shape == out1.shape
+    assert np.isfinite(np.asarray(res1)).all()
+    assert float(jnp.abs(res0 - res1).max()) > 0.0
