@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stableavatar_tpu.models.dit import dit_forward
+from stableavatar_tpu.models.dit import dit_forward, dit_forward_skip, dit_time_e0
 from stableavatar_tpu.models.vae import decode_video_segmented
 from stableavatar_tpu.pipelines.common import (
     WanModels,
@@ -94,6 +94,38 @@ def _clip_velocity(
     return guidance_combine_single(noise_pred, text_scale, audio_scale)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "dit_cfg", "clip_length", "text_scale", "audio_scale", "rope_split",
+        "attn_quant", "attn_impl", "honor_vocal_k_lens", "compute",
+    ),
+)
+def _clip_velocity_tc(
+    params, latents, y, text_ctx, clip_ctx, vocal_emb, residual, t, dit_cfg,
+    clip_length: int, text_scale: float, audio_scale: float,
+    rope_split: bool = False, attn_quant: str = "none",
+    attn_impl: str = "ulysses",
+    honor_vocal_k_lens: bool = True,
+    compute: bool = True,
+):
+    """TeaCache-aware CFG velocity: compute captures the block-stack
+    residual; skip replays it (dit_forward_skip).  Returns (v, residual)."""
+    lat3 = jnp.concatenate([latents] * 3, axis=0).astype(jnp.bfloat16)
+    tb = jnp.full((3,), t, dtype=jnp.float32)
+    if compute:
+        noise_pred, residual = dit_forward(
+            params, dit_cfg, lat3, tb, text_ctx, clip_ctx, y, vocal_emb,
+            video_sample_n_frames=clip_length, vocal_cfg_tile=True,
+            return_residual=True, rope_split=rope_split,
+            attn_quant=attn_quant, attn_impl=attn_impl,
+            honor_vocal_k_lens=honor_vocal_k_lens,
+        )
+    else:
+        noise_pred = dit_forward_skip(params, dit_cfg, lat3, tb, y, residual)
+    return guidance_combine_single(noise_pred, text_scale, audio_scale), residual
+
+
 @dataclasses.dataclass
 class SingleClipOutput:
     videos: Optional[np.ndarray]
@@ -148,27 +180,65 @@ def generate_single_clip(
     clip_ctx, y = prepare_conditioning(models, ref_image, clip_length, cfg_batch=3)
     vocal_emb = extract_vocal_features(models, np.asarray(vocal_waveform, np.float32))
 
+    # TeaCache (transformer-level, scheduler-agnostic): precompute the
+    # deterministic skip plan over the steps (pipelines/long.py's plan with
+    # one "window" per step)
+    teacache = getattr(models, "teacache", None)
+    tc_plan = residual = None
+    if teacache is not None:
+        from stableavatar_tpu.pipelines.long import precompute_teacache_plan
+
+        teacache.reset()
+        e0_all = dit_time_e0(
+            models.dit_params, models.dit_cfg,
+            jnp.asarray(np.asarray(sched.timesteps), jnp.float32),
+        )
+        tc_plan = precompute_teacache_plan(
+            teacache, [e0_all[i : i + 1] for i in range(sched.num_steps)], 1
+        )
+        l_tokens = tl * (lh // 2) * (lw // 2)
+        residual = jnp.zeros((3, l_tokens, models.dit_cfg.dim), jnp.bfloat16)
+
+    common_tc = dict(
+        rope_split=models.rope_split, attn_quant=models.attn_quant,
+        attn_impl=models.attn_impl,
+        honor_vocal_k_lens=models.honor_vocal_k_lens,
+    )
+
     if scheduler == "euler":
         for i in range(sched.num_steps):
-            latents = _clip_step(
-                models.dit_params,
-                latents,
-                y,
-                text_ctx,
-                clip_ctx,
-                vocal_emb,
-                sched.timesteps[i],
-                sched.sigmas[i],
-                sched.sigmas[i + 1],
-                models.dit_cfg,
-                clip_length,
-                float(prompt_cfg_scale),
-                float(audio_cfg_scale),
-                rope_split=models.rope_split,
-                attn_quant=models.attn_quant,
-                attn_impl=models.attn_impl,
-                honor_vocal_k_lens=models.honor_vocal_k_lens,
-            )
+            if tc_plan is not None:
+                v, residual = _clip_velocity_tc(
+                    models.dit_params, latents, y, text_ctx, clip_ctx,
+                    vocal_emb, residual, sched.timesteps[i], models.dit_cfg,
+                    clip_length, float(prompt_cfg_scale),
+                    float(audio_cfg_scale), compute=tc_plan[i][0],
+                    **common_tc,
+                )
+                latents = (
+                    latents.astype(jnp.float32)
+                    + (sched.sigmas[i + 1] - sched.sigmas[i]) * v
+                ).astype(jnp.bfloat16)
+            else:
+                latents = _clip_step(
+                    models.dit_params,
+                    latents,
+                    y,
+                    text_ctx,
+                    clip_ctx,
+                    vocal_emb,
+                    sched.timesteps[i],
+                    sched.sigmas[i],
+                    sched.sigmas[i + 1],
+                    models.dit_cfg,
+                    clip_length,
+                    float(prompt_cfg_scale),
+                    float(audio_cfg_scale),
+                    rope_split=models.rope_split,
+                    attn_quant=models.attn_quant,
+                    attn_impl=models.attn_impl,
+                    honor_vocal_k_lens=models.honor_vocal_k_lens,
+                )
             if step_callback is not None:
                 step_callback(i, np.asarray(latents, np.float32))
     else:
@@ -185,14 +255,23 @@ def generate_single_clip(
                             order=solver_order, **kw)
         state = MultistepState()
         for i in range(solver.sched.num_steps):
-            v = _clip_velocity(
-                models.dit_params, latents, y, text_ctx, clip_ctx, vocal_emb,
-                solver.timesteps[i], models.dit_cfg, clip_length,
-                float(prompt_cfg_scale), float(audio_cfg_scale),
-                rope_split=models.rope_split, attn_quant=models.attn_quant,
-                attn_impl=models.attn_impl,
-                honor_vocal_k_lens=models.honor_vocal_k_lens,
-            )
+            if tc_plan is not None:
+                v, residual = _clip_velocity_tc(
+                    models.dit_params, latents, y, text_ctx, clip_ctx,
+                    vocal_emb, residual, solver.timesteps[i], models.dit_cfg,
+                    clip_length, float(prompt_cfg_scale),
+                    float(audio_cfg_scale), compute=tc_plan[i][0],
+                    **common_tc,
+                )
+            else:
+                v = _clip_velocity(
+                    models.dit_params, latents, y, text_ctx, clip_ctx, vocal_emb,
+                    solver.timesteps[i], models.dit_cfg, clip_length,
+                    float(prompt_cfg_scale), float(audio_cfg_scale),
+                    rope_split=models.rope_split, attn_quant=models.attn_quant,
+                    attn_impl=models.attn_impl,
+                    honor_vocal_k_lens=models.honor_vocal_k_lens,
+                )
             lat_f, state = solver.step(v, i, latents, state)
             latents = lat_f.astype(jnp.bfloat16)
             if step_callback is not None:

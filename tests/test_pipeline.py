@@ -559,3 +559,37 @@ def test_riflex_config_changes_temporal_rope_only():
     assert out0.shape == out1.shape
     assert np.isfinite(np.asarray(res1)).all()
     assert float(jnp.abs(res0 - res1).max()) > 0.0
+
+
+def test_single_clip_teacache(tiny_models):
+    """TeaCache in the single-clip (fantasy validation) pipeline: a
+    never-skipping cache is bit-identical to the plain path; an
+    always-skipping one runs finite and skips."""
+    from stableavatar_tpu.models.teacache import TeaCache
+    from stableavatar_tpu.pipelines.single_clip import generate_single_clip
+
+    rng = np.random.default_rng(17)
+    ref = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    wav = rng.standard_normal(9 * 640).astype(np.float32) * 0.1
+    ids = np.ones(16, np.int32)
+    kwargs = dict(
+        ref_image=ref, vocal_waveform=wav,
+        prompt_ids=(ids, ids), negative_prompt_ids=(np.zeros(16, np.int32), ids),
+        num_inference_steps=4, clip_length=9, seed=2, output_type="latent",
+    )
+
+    tiny_models.teacache = None
+    plain = generate_single_clip(tiny_models, **kwargs)
+
+    tiny_models.teacache = TeaCache([0.0] * 5, 4, rel_l1_thresh=0.0,
+                                    num_skip_start_steps=99)
+    never = generate_single_clip(tiny_models, **kwargs)
+    assert tiny_models.teacache.skipped_calls == 0
+    np.testing.assert_array_equal(np.asarray(plain.latents), np.asarray(never.latents))
+
+    tiny_models.teacache = TeaCache([0.0] * 5, 4, rel_l1_thresh=1.0,
+                                    num_skip_start_steps=0)
+    skipping = generate_single_clip(tiny_models, **kwargs)
+    assert tiny_models.teacache.skipped_calls > 0
+    assert np.isfinite(np.asarray(skipping.latents)).all()
+    tiny_models.teacache = None
