@@ -307,7 +307,7 @@ def _shared_inputs(total_video_frames):
 
 
 def _run_reference_long(pipe, image, wav, noise, tmp_path, steps=STEPS,
-                        overlap=OVERLAP):
+                        overlap=OVERLAP, scheme="uniform"):
     """Run the reference pipeline, capturing every transformer input (row 0
     of the CFG triple) and the final latents entering decode."""
     from PIL import Image
@@ -346,6 +346,7 @@ def _run_reference_long(pipe, image, wav, noise, tmp_path, steps=STEPS,
             fps=FPS, sr=SR, seed=0,
             cond_file_path=img_path,
             overlap_window_length=overlap,
+            overlapping_weight_scheme=scheme,
             clip_length=CLIP_LENGTH,
             max_sequence_length=TEXT_LEN,
         )
@@ -356,7 +357,8 @@ def _run_reference_long(pipe, image, wav, noise, tmp_path, steps=STEPS,
     return captured, final["latents"], video
 
 
-def _run_ours_long(models, image, wav, noise, steps=STEPS, overlap=OVERLAP):
+def _run_ours_long(models, image, wav, noise, steps=STEPS, overlap=OVERLAP,
+                   scheme="uniform"):
     from stableavatar_tpu.pipelines.long import generate_long
 
     ours_steps = {}
@@ -376,6 +378,7 @@ def _run_ours_long(models, image, wav, noise, steps=STEPS, overlap=OVERLAP):
         audio_guide_scale=3.5,
         clip_length=CLIP_LENGTH,
         overlap_window_length=overlap,
+        overlapping_weight_scheme=scheme,
         seed=0,
         initial_latents=noise,
         step_callback=cb,
@@ -613,3 +616,36 @@ def test_final_window_deviation(stacks, tmp_path):
     d_tail = float(np.abs(ours_final[:, :, 5:] - ref_final[:, :, 5:]).max())
     print(f"final-window deviation: head {d_head:.4f}, tail {d_tail:.4f}")
     assert np.isfinite(d_tail)
+
+
+def test_long_pipeline_log_ramp_parity(stacks, tmp_path):
+    """The 'log' overlap weighting scheme matches the reference's log1p ramp
+    (`wan_inference_long_pipeline.py:761-766`) step-for-step at overlap 4."""
+    pipe, models = stacks
+    image, wav, noise = _shared_inputs(TOTAL_VIDEO_FRAMES)
+
+    # overlap 4 tiles the 14-latent duration exactly on BOTH sides
+    # ((14-6) % (6-4) == 0), so the documented full-size-final-window
+    # deviation does not enter — this isolates the ramp math
+    captured, ref_final, _ = _run_reference_long(
+        pipe, image, wav, noise, tmp_path, overlap=4, scheme="log"
+    )
+    ours_steps, out = _run_ours_long(models, image, wav, noise, overlap=4,
+                                     scheme="log")
+
+    from stableavatar_tpu.pipelines.long import plan_windows
+
+    infer_length = noise.shape[2]
+    windows = plan_windows(infer_length, (CLIP_LENGTH - 1) // 4 + 1, 4)
+    for i in range(1, STEPS):
+        ours = ours_steps[i - 1]
+        for w, (s, e) in enumerate(windows):
+            ref_in = captured[i * len(windows) + w]
+            d = float(np.abs(ours[:, :, s:e] - ref_in).max())
+            # noise floor at this geometry: uniform@overlap4 measures
+            # worst 0.055 / final 0.063 (5 windows -> more bf16 blend
+            # compounding than the overlap-2 test's 0.031)
+            assert d < 0.1, f"log ramp step{i} window{w}: max-abs {d}"
+
+    d_final = float(np.abs(np.asarray(out.latents, np.float32) - ref_final).max())
+    assert d_final < 0.1, f"log-ramp final latents diff {d_final}"
