@@ -116,6 +116,13 @@ def build_parser() -> argparse.ArgumentParser:
     # "linears" additionally runs block projections/FFN as W8A8
     p.add_argument("--fast_path", type=str, default="off",
                    choices=["off", "rope", "qk", "linears"])
+    # exact shipped-reference attention numerics: the 1B reference
+    # force-disables flash-attn (wan_fantasy_transformer3d_1B.py:45-46) and
+    # its SDPA path drops the vocal k_lens padding masks; we honor them by
+    # default (a quality improvement) — this flag replicates the reference
+    p.add_argument("--reference_attn_numerics", action="store_true",
+                   help="drop vocal k_lens padding masks in cross-attention, "
+                        "bit-matching the shipped reference SDPA path")
     # parallelism (reference: xfuser ulysses/ring + FSDP)
     # multi-host bootstrap (parallel/distributed.py; reference scale-out is
     # 8 machines x 8 GPUs via Accelerate static rendezvous)
@@ -128,6 +135,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--t5_fsdp", action="store_true")  # parsed-only in reference too
     p.add_argument("--t5_cpu", action="store_true")
     return p
+
+
+def resolve_fast_path(args):
+    """Map --fast_path x --GPU_memory_mode onto the param-prep knobs.
+
+    Returns (prepare, quant, rope_split, attn_quant).
+
+    `model_cpu_offload_and_qfloat8` stores + computes the per-block linears
+    in int8 — the TPU analog of the reference's fp8 weight storage
+    (`wan/utils/fp8_optimization.py:28-56`, applied at
+    `inference.py:516-518`); attention stays bf16 unless --fast_path asks
+    for int8 QK as well.
+    """
+    fast = getattr(args, "fast_path", "off")
+    quant_store = (
+        getattr(args, "GPU_memory_mode", "") == "model_cpu_offload_and_qfloat8"
+    )
+    prepare = fast != "off" or quant_store
+    quant = (fast == "linears") or quant_store
+    attn_quant = "qk" if fast in ("qk", "linears") else "none"
+    return prepare, quant, prepare, attn_quant
 
 
 def load_models(args):
@@ -311,16 +339,11 @@ def load_models(args):
             num_skip_start_steps=args.num_skip_start_steps,
         )
 
-    rope_split = False
-    attn_quant = "none"
-    if getattr(args, "fast_path", "off") != "off":
+    prep, quant, rope_split, attn_quant = resolve_fast_path(args)
+    if prep:
         from stableavatar_tpu.utils.fastpath import prepare_fast_params
 
-        dit_params = prepare_fast_params(
-            dit_params, cfg, quant=args.fast_path == "linears"
-        )
-        rope_split = True
-        attn_quant = "qk" if args.fast_path in ("qk", "linears") else "none"
+        dit_params = prepare_fast_params(dit_params, cfg, quant=quant)
 
     # reference semantics: ring_degree>1 selects ring attention inside the
     # sp group (inference.py:445-449 composes world = ring x ulysses)
@@ -342,6 +365,7 @@ def load_models(args):
         rope_split=rope_split,
         attn_quant=attn_quant,
         attn_impl=attn_impl,
+        honor_vocal_k_lens=not getattr(args, "reference_attn_numerics", False),
     )
 
 
@@ -370,14 +394,10 @@ def main(argv=None):
     if sp > 1 or fsdp > 1:
         mesh = make_mesh(dp=1, fsdp=fsdp, sp=sp)
 
-    # validate inputs BEFORE the multi-minute model load
-    if args.enable_teacache and args.sample_solver != "euler":
-        print(
-            "error: --enable_teacache requires --sample_solver euler "
-            "(skip plans are calibrated on the Euler path)",
-            file=sys.stderr,
-        )
-        return 2
+    # validate inputs BEFORE the multi-minute model load.  TeaCache composes
+    # with the multistep solvers (skip schedule + residual replay under
+    # dpm++/unipc, tests/test_pipeline.py::test_generate_long_multistep_with_
+    # teacache) — no solver restriction.
     for path, what in [
         (args.validation_reference_path, "reference image"),
         (args.validation_driven_audio_path, "driving audio"),

@@ -24,6 +24,10 @@ def build_parser():
     p.add_argument("--train_data_vec_meta", type=str, default=None)
     p.add_argument("--video_sample_size", type=int, default=512)
     p.add_argument("--video_sample_n_frames", type=int, default=81)
+    # frame-sampling stride (reference LargeScaleTalkingFantasyVideos
+    # sample_frame_rate, train_1B_square.py:968; window span =
+    # (n_frames-1)*stride+1 then linspace indexing)
+    p.add_argument("--sample_frame_rate", type=int, default=1)
     p.add_argument("--audio_sample_rate", type=int, default=16000)
     # reference: DataLoader(num_workers=...) (train_1B_square.py:433,979);
     # here a decode thread pool + bounded background prefetch
@@ -177,9 +181,11 @@ def main(argv=None):
         ds = InterleavedDataset(
             [
                 TalkingVideoDataset(args.train_data_rec_meta, args.train_data_dir or "",
-                                    sample_size=(480, 832), clip_length=args.video_sample_n_frames),
+                                    sample_size=(480, 832), clip_length=args.video_sample_n_frames,
+                                    sample_frame_rate=args.sample_frame_rate),
                 TalkingVideoDataset(args.train_data_vec_meta, args.train_data_dir or "",
-                                    sample_size=(832, 480), clip_length=args.video_sample_n_frames),
+                                    sample_size=(832, 480), clip_length=args.video_sample_n_frames,
+                                    sample_frame_rate=args.sample_frame_rate),
             ],
             seed=args.seed,
         )
@@ -190,6 +196,7 @@ def main(argv=None):
         ds = TalkingVideoDataset(
             args.train_data_meta, args.train_data_dir or "",
             sample_size=size, clip_length=args.video_sample_n_frames,
+            sample_frame_rate=args.sample_frame_rate,
             fps=args.fps, sr=args.audio_sample_rate, seed=args.seed,
         )
         batches = ds.batches(args.train_batch_size,

@@ -11,10 +11,14 @@ Per-clip directory schema (reference `:130-137,161-185`):
   lip_masks/, audio.wav — clip paths listed one-per-line in an index txt.
 
 Behaviors preserved:
-- random 81-frame window with stride (`:189-194`); reference image = first
-  frame of the window (`:203-207`);
-- audio sliced to the window by fps, sample-accurate (`:251-265`), zero-pad
-  fallback when too short (`:258-262`);
+- random window with stride: span = (n_sample_frames-1)*sample_frame_rate+1
+  capped at the clip length, then np.linspace index selection (`:189-194`);
+  reference image = first frame of the window (`:203-207`);
+- fps probed from sub_clip.mp4, with the fps-from-audio-duration fallback
+  when the container reports 0 (`:164-177`); pass a fixed fps to skip
+  probing;
+- audio sliced to the window by fps, sample-accurate float-seconds bounds
+  (`:251-265`), zero-pad fallback when too short (`:258-262`);
 - motion score = mean cosine similarity of consecutive frames (`:283-296`);
 - prompt derived from path keywords singing/speech/dancing (`:299-307`);
 - first-frame-only inpaint mask at train time (`:321-325`);
@@ -103,21 +107,27 @@ class TalkingVideoDataset:
         data_root: str = "",
         sample_size=(512, 512),
         clip_length: int = 81,
-        fps: int = 25,
+        sample_frame_rate: int = 1,
+        fps: Optional[float] = 25,
         sr: int = 16000,
         enable_inpaint: bool = True,
         seed: int = 0,
     ):
+        """`sample_frame_rate` is the reference's frame stride (`:189`);
+        `fps=None` probes each clip's sub_clip.mp4 (fps-from-audio-duration
+        fallback when the container reports 0, `:164-177`)."""
         with open(index_file) as f:
             self.clips: List[str] = [
                 os.path.join(data_root, line.strip()) for line in f if line.strip()
             ]
         self.sample_size = tuple(sample_size)
         self.clip_length = clip_length
+        self.sample_frame_rate = int(sample_frame_rate)
         self.fps = fps
         self.sr = sr
         self.enable_inpaint = enable_inpaint
         self.rng = np.random.default_rng(seed)
+        self._fps_cache: Dict[str, float] = {}
 
     def __len__(self):
         return len(self.clips)
@@ -126,6 +136,51 @@ class TalkingVideoDataset:
         img_dir = os.path.join(clip, "images")
         names = sorted(os.listdir(img_dir))
         return [os.path.join(img_dir, n) for n in names]
+
+    def _clip_fps(self, clip: str, n_frames: int) -> float:
+        """Per-clip fps, reference-exactly (`:162-177`): cv2-probe
+        sub_clip.mp4; when the container reports 0 fps (or there is no
+        mp4), recover fps = frame_count / audio_duration; last resort 25."""
+        if self.fps is not None:
+            return float(self.fps)
+        cached = self._fps_cache.get(clip)
+        if cached is not None:
+            return cached
+        fps = 0.0
+        mp4 = os.path.join(clip, "sub_clip.mp4")
+        if os.path.exists(mp4):
+            import cv2
+
+            cap = cv2.VideoCapture(mp4)
+            fps = float(cap.get(cv2.CAP_PROP_FPS) or 0.0)
+            cap.release()
+        if fps <= 0.0:
+            wav_path = os.path.join(clip, "audio.wav")
+            if os.path.exists(wav_path):
+                import wave
+
+                with wave.open(wav_path, "rb") as f:
+                    dur = f.getnframes() / f.getframerate()
+                if dur > 0:
+                    fps = n_frames / dur
+        if fps <= 0.0:
+            fps = 25.0
+        self._fps_cache[clip] = fps
+        return fps
+
+    def window_indices(self, n_frames: int, start: Optional[int] = None,
+                       rng=None) -> List[int]:
+        """Frame indices for one sample window, matching the reference
+        formula exactly (`talking_video_dataset_fantasy.py:189-194`):
+        span = min(n, (n_sample_frames-1)*stride + 1), random start, then
+        np.linspace(start, start+span-1, n_sample_frames) integer indexing
+        (short clips yield linspace-duplicated indices, not tail-padding)."""
+        cl = self.clip_length
+        span = min(n_frames, (cl - 1) * self.sample_frame_rate + 1)
+        if start is None:
+            r = rng if rng is not None else self.rng
+            start = 0 if n_frames <= span else int(r.integers(0, n_frames - span + 1))
+        return np.linspace(start, start + span - 1, cl, dtype=int).tolist()
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         return self._sample(idx, self.rng)
@@ -139,10 +194,8 @@ class TalkingVideoDataset:
         n = len(frames)
         cl = self.clip_length
 
-        start = 0 if n <= cl else int(rng.integers(0, n - cl + 1))
-        sel = list(range(start, min(start + cl, n)))
-        while len(sel) < cl:  # loop-pad short clips
-            sel.append(sel[-1])
+        sel = self.window_indices(n, rng=rng)
+        span = min(n, (cl - 1) * self.sample_frame_rate + 1)
 
         h, w = self.sample_size
         pixels = np.stack([_load_frame(frames[i], (h, w)) for i in sel])
@@ -161,18 +214,24 @@ class TalkingVideoDataset:
         face_masks = masks_for("face_masks")
         lip_masks = masks_for("lip_masks")
 
-        # audio window, sample-accurate to the frame window
+        # audio window, sample-accurate to the spanned frame window: the
+        # reference slices [start/fps, start/fps + span/fps) in float
+        # seconds (`:251-258`) — with stride>1 the audio covers the full
+        # span, not n_sample_frames/fps.  Length is then fixed per dataset
+        # (zero-pad/truncate) so batches stack into static TPU shapes.
+        fps = self._clip_fps(clip, n)
         wav_path = os.path.join(clip, "audio.wav")
-        spf = self.sr // self.fps
+        target = int(round(span * self.sr / (self.fps if self.fps else 25.0)))
         if os.path.exists(wav_path):
             wav, _ = load_wav(wav_path, self.sr)
-            a0 = start * spf
-            a1 = a0 + cl * spf
+            a0 = int(sel[0] / fps * self.sr)
+            a1 = int((sel[0] + span) / fps * self.sr)
             audio = wav[a0:a1]
-            if len(audio) < cl * spf:
-                audio = np.pad(audio, (0, cl * spf - len(audio)))
+            if len(audio) < target:
+                audio = np.pad(audio, (0, target - len(audio)))
+            audio = audio[:target]
         else:
-            audio = np.zeros(cl * spf, np.float32)
+            audio = np.zeros(target, np.float32)
 
         # NOTE: the 10% audio dropout happens in train/loop.py:encode_batch
         # on the wav2vec EMBEDDINGS, matching the reference call site
@@ -229,34 +288,44 @@ class TalkingVideoDataset:
             return gen
         return prefetch_iterator(gen, prefetch_depth)
 
-    def _batches_sync(self, batch_size: int, shuffle: bool, num_workers: int):
-        ex = None
-        if num_workers > 0:
+    def _batches_sync(self, batch_size: int, shuffle: bool, num_workers: int,
+                      executor=None):
+        # a caller-owned executor (InterleavedDataset) is shared, not
+        # re-created per sub-iterator; a self-owned one is shut down when
+        # the generator is closed/abandoned
+        ex, own = executor, False
+        if ex is None and num_workers > 0:
             from concurrent.futures import ThreadPoolExecutor
 
             ex = ThreadPoolExecutor(num_workers, thread_name_prefix="data")
-        order = np.arange(len(self))
-        while True:
-            if shuffle:
-                self.rng.shuffle(order)
-            for i in range(0, len(order) - batch_size + 1, batch_size):
-                idxs = [int(j) for j in order[i : i + batch_size]]
-                if ex is not None:
-                    # per-sample child generators drawn sequentially here so
-                    # the parallel decode stays deterministic given the seed
-                    rngs = [
-                        np.random.default_rng(int(self.rng.integers(2**63)))
-                        for _ in idxs
-                    ]
-                    samples = list(ex.map(self._sample, idxs, rngs))
-                else:
-                    samples = [self[j] for j in idxs]
-                yield {
-                    k: np.stack([s[k] for s in samples])
-                    if isinstance(samples[0][k], np.ndarray)
-                    else [s[k] for s in samples]
-                    for k in samples[0]
-                }
+            own = True
+        try:
+            order = np.arange(len(self))
+            while True:
+                if shuffle:
+                    self.rng.shuffle(order)
+                for i in range(0, len(order) - batch_size + 1, batch_size):
+                    idxs = [int(j) for j in order[i : i + batch_size]]
+                    if ex is not None:
+                        # per-sample child generators drawn sequentially here
+                        # so the parallel decode stays deterministic given
+                        # the seed
+                        rngs = [
+                            np.random.default_rng(int(self.rng.integers(2**63)))
+                            for _ in idxs
+                        ]
+                        samples = list(ex.map(self._sample, idxs, rngs))
+                    else:
+                        samples = [self[j] for j in idxs]
+                    yield {
+                        k: np.stack([s[k] for s in samples])
+                        if isinstance(samples[0][k], np.ndarray)
+                        else [s[k] for s in samples]
+                        for k in samples[0]
+                    }
+        finally:
+            if own:
+                ex.shutdown(wait=False)
 
 
 class InterleavedDataset:
@@ -270,14 +339,25 @@ class InterleavedDataset:
     def batches(self, batch_size: int, num_workers: int = 0,
                 prefetch_depth: int = 2):
         def gen():
-            # sub-iterators get the decode pool but no producer thread of
-            # their own (the interleave picks which one advances)
-            iters = [
-                d._batches_sync(batch_size, True, num_workers)
-                for d in self.datasets
-            ]
-            while True:
-                yield next(iters[int(self.rng.integers(0, len(iters)))])
+            # ONE shared decode pool across sub-iterators (total threads =
+            # num_workers, not num_workers x n_datasets) and no producer
+            # thread of their own (the interleave picks which one advances);
+            # the pool is shut down when this generator is closed/abandoned
+            ex = None
+            if num_workers > 0:
+                from concurrent.futures import ThreadPoolExecutor
+
+                ex = ThreadPoolExecutor(num_workers, thread_name_prefix="data")
+            try:
+                iters = [
+                    d._batches_sync(batch_size, True, num_workers, executor=ex)
+                    for d in self.datasets
+                ]
+                while True:
+                    yield next(iters[int(self.rng.integers(0, len(iters)))])
+            finally:
+                if ex is not None:
+                    ex.shutdown(wait=False)
 
         if num_workers <= 0:
             return gen()
