@@ -1,0 +1,44 @@
+"""Regenerate the committed golden output for the default euler path.
+
+Run on the virtual-CPU backend (deterministic across sessions):
+    JAX_PLATFORMS=cpu python scripts/make_golden.py
+
+Only run this after an INTENDED numerics change; the golden guards the
+default path against silent drift from perf work
+(tests/test_solver_quality.py::test_golden_output_regression).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    from tests.test_solver_quality import make_active_models
+    from stableavatar_tpu.pipelines.long import generate_long
+
+    models = make_active_models()
+    rng = np.random.default_rng(7)
+    ref = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    wav = rng.standard_normal(9 * 640).astype(np.float32) * 0.1
+    out = generate_long(
+        models, ref_image=ref, vocal_waveform=wav, prompt="a person talking",
+        num_inference_steps=4, clip_length=9, overlap_window_length=1,
+        seed=0, scheduler="euler",
+    )
+    path = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
+                        "generate_long_tiny.npz")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, videos=np.asarray(out.videos, np.float16))
+    print(f"wrote {os.path.abspath(path)} shape={out.videos.shape}")
+
+
+if __name__ == "__main__":
+    main()

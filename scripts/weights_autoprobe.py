@@ -1,0 +1,116 @@
+"""Real-checkpoint autoprobe: zero-human-latency parity the moment weights mount.
+
+No checkpoints exist in this environment (zero egress).  This probe checks
+the standard mount locations every time it runs and, the first time a
+complete checkpoint root appears, automatically runs
+`scripts/parity_vs_torch.py` forward + pipeline modes and appends the
+measured diffs to PARITY.md — so the real-weights parity evidence (VERDICT
+r3 missing item 1) lands without anyone having to notice the mount.
+
+Checkpoint layout expected (reference `inference.sh:2-8`,
+`inference.py:463-506`):
+    <root>/diffusion_pytorch_model.safetensors      (Wan2.1-Fun 1.3B DiT)
+    <root>/Wan2.1_VAE.pth
+    <root>/models_t5_umt5-xxl-enc-bf16.pth
+    <root>/models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth
+
+Run directly, or let bench.py invoke it (it exits 0 instantly when nothing
+is mounted).  Candidate roots can be extended with STABLEAVATAR_CKPT_ROOTS
+(colon-separated).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CANDIDATE_ROOTS = [
+    "/root/checkpoints/Wan2.1-Fun-V1.1-1.3B-InP",
+    "/root/checkpoints",
+    "/root/weights/Wan2.1-Fun-V1.1-1.3B-InP",
+    "/root/weights",
+    "/root/models/Wan2.1-Fun-V1.1-1.3B-InP",
+    "/root/models",
+    "/mnt/checkpoints/Wan2.1-Fun-V1.1-1.3B-InP",
+    "/mnt/checkpoints",
+    os.path.join(REPO, "checkpoints/Wan2.1-Fun-V1.1-1.3B-InP"),
+    os.path.join(REPO, "checkpoints"),
+]
+
+REQUIRED = [
+    "diffusion_pytorch_model.safetensors",
+    "Wan2.1_VAE.pth",
+]
+
+MARKER = os.path.join(REPO, ".weights_autoprobe_done")
+
+
+def find_ckpt_root():
+    roots = os.environ.get("STABLEAVATAR_CKPT_ROOTS", "")
+    candidates = [r for r in roots.split(":") if r] + CANDIDATE_ROOTS
+    for root in candidates:
+        if all(os.path.exists(os.path.join(root, f)) for f in REQUIRED):
+            return root
+        # one level of nesting (a mount containing model subdirs)
+        if os.path.isdir(root):
+            try:
+                subdirs = sorted(os.listdir(root))
+            except OSError:
+                continue
+            for sub in subdirs:
+                p = os.path.join(root, sub)
+                if all(os.path.exists(os.path.join(p, f)) for f in REQUIRED):
+                    return p
+    return None
+
+
+def main(timeout_s: int = 3600) -> int:
+    root = find_ckpt_root()
+    if root is None:
+        print("weights_autoprobe: no checkpoint root mounted (probed "
+              f"{len(CANDIDATE_ROOTS)} locations) - nothing to do")
+        return 0
+    if os.path.exists(MARKER):
+        with open(MARKER) as f:
+            print(f"weights_autoprobe: already ran for {f.read().strip()}; "
+                  "delete .weights_autoprobe_done to re-run")
+        return 0
+
+    print(f"weights_autoprobe: FOUND checkpoints at {root} - running parity")
+    stamp = datetime.datetime.now().isoformat(timespec="seconds")
+    results = {}
+    for mode in ("forward", "pipeline"):
+        cmd = [sys.executable, os.path.join(REPO, "scripts/parity_vs_torch.py"),
+               mode, "--ckpt_root", root]
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=timeout_s)
+            results[mode] = (r.returncode, (r.stdout or "")[-4000:],
+                             (r.stderr or "")[-1500:])
+        except subprocess.TimeoutExpired:
+            results[mode] = (124, "", f"timeout >{timeout_s}s")
+
+    lines = [f"\n## Real-weights autoprobe — {stamp}\n",
+             f"Checkpoint root: `{root}`\n"]
+    ok = True
+    for mode, (rc, out, err) in results.items():
+        lines.append(f"### {mode} (rc={rc})\n```\n{out.strip()}\n```\n")
+        if rc != 0:
+            ok = False
+            lines.append(f"stderr tail:\n```\n{err.strip()}\n```\n")
+    with open(os.path.join(REPO, "PARITY.md"), "a") as f:
+        f.write("\n".join(lines))
+    if ok:
+        with open(MARKER, "w") as f:
+            f.write(f"{root} @ {stamp}\n")
+    print(f"weights_autoprobe: appended results to PARITY.md (ok={ok})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

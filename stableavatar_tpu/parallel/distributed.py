@@ -85,6 +85,15 @@ def make_multihost_mesh(
         dp = total // (fsdp * sp)
     n = dp * fsdp * sp
     assert n <= total, f"need {n} devices, have {total}"
+    if jax.process_count() > 1 and n != total:
+        # a partial mesh in a multi-process run can land entirely on a
+        # subset of hosts: the excluded processes would own no addressable
+        # shard of any mesh-placed array and every collective would
+        # deadlock waiting on them — require the whole pod
+        raise ValueError(
+            f"multi-process mesh must span all {total} devices "
+            f"(got dp*fsdp*sp = {n}); size the axes to the pod"
+        )
     arr = np.asarray(devices[:n]).reshape(dp, fsdp, sp)
     return Mesh(arr, ("dp", "fsdp", "sp"))
 

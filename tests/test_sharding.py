@@ -341,3 +341,51 @@ def test_generate_long_under_mesh_matches_single_device():
         np.asarray(sharded.latents), np.asarray(base.latents),
         rtol=2e-3, atol=2e-4,
     )
+
+
+def test_generate_long_14b_variant_under_mesh_matches_single_device():
+    """VERDICT r3 item 7: the FULL generate_long path at the 14B structural
+    variant — real 40-layer depth and the 2-stage (768->2048->5120 shaped)
+    vocal projector, width cut for CPU — executes under the fsdp=2 x sp=2
+    virtual mesh and matches the single-device run, so the first real
+    2-chip session starts from a green end-to-end path
+    (multiple_gpu_inference.sh:17-26)."""
+    import dataclasses as dc
+
+    from tests.test_pipeline import make_tiny_models
+    from stableavatar_tpu.config import DiTConfig
+    from stableavatar_tpu.models.dit import init_dit
+    from stableavatar_tpu.parallel.mesh import make_mesh, mesh_context
+    from stableavatar_tpu.parallel.sharding import shard_params
+    from stableavatar_tpu.pipelines.long import generate_long
+
+    models = make_tiny_models()
+    cfg14 = dc.replace(
+        models.dit_cfg,
+        num_layers=40,                      # full 14B depth
+        audio_proj_hidden=24,               # 2-stage 14B vocal projector
+    )
+    assert isinstance(cfg14, DiTConfig)
+    models.dit_cfg = cfg14
+    models.dit_params = init_dit(jax.random.PRNGKey(14), cfg14)
+
+    rng = np.random.default_rng(6)
+    ref = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    wav = rng.standard_normal(18 * 640).astype(np.float32) * 0.1
+    kwargs = dict(
+        ref_image=ref, vocal_waveform=wav, prompt="speech",
+        num_inference_steps=2, clip_length=9, overlap_window_length=1,
+        seed=5, output_type="latent",
+    )
+
+    base = generate_long(models, **kwargs)
+
+    mesh = make_mesh(dp=1, fsdp=2, sp=2)
+    with mesh_context(mesh):
+        models.dit_params = shard_params(models.dit_params, mesh)
+        sharded = generate_long(models, **kwargs)
+
+    np.testing.assert_allclose(
+        np.asarray(sharded.latents), np.asarray(base.latents),
+        rtol=2e-3, atol=2e-4,
+    )
