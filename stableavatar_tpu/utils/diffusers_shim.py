@@ -96,8 +96,14 @@ def ensure_torchvision():
                 unsq = x.ndim == 3
                 if unsq:
                     x = x[None]
+                # torch rejects align_corners for nearest/area modes
+                ac = (
+                    False
+                    if mode in ("linear", "bilinear", "bicubic", "trilinear")
+                    else None
+                )
                 out = torch.nn.functional.interpolate(
-                    x, size=tuple(self.size), mode=mode, align_corners=False
+                    x, size=tuple(self.size), mode=mode, align_corners=ac
                 )
                 return out[0] if unsq else out
             return x.resize(tuple(self.size)[::-1])  # PIL takes (w, h)

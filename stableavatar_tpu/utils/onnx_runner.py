@@ -298,6 +298,10 @@ def run_graph(graph: OnnxGraph, inputs: Dict[str, np.ndarray]):
     def get(name):
         return env[name] if name else None
 
+    # names actually read anywhere in the graph: dead declared outputs
+    # (e.g. MaxPool's optional Indices) are allowed to go uncomputed
+    consumed = {i for n in graph.nodes for i in n.inputs if i}
+
     for node in graph.nodes:
         i = node.inputs
         op = node.op_type
@@ -437,10 +441,16 @@ def run_graph(graph: OnnxGraph, inputs: Dict[str, np.ndarray]):
                 if name:
                     env[name] = val
         else:
-            extra = [o for o in node.outputs[1:] if o]
+            # a DECLARED extra output is fine when dead (e.g. MaxPool's
+            # optional Indices); only a consumed one must fail loudly
+            extra = [
+                o for o in node.outputs[1:]
+                if o and (o in consumed or o in graph.outputs)
+            ]
             if extra:
                 raise NotImplementedError(
-                    f"{op} declares unsupported extra outputs {extra}"
+                    f"{op} declares unsupported extra outputs {extra} "
+                    "that are consumed downstream"
                 )
             env[node.outputs[0]] = out
 

@@ -312,3 +312,36 @@ def test_mdx_net_topology_matches_torch():
 
     assert got.shape == want.shape, (got.shape, want.shape)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_dead_extra_output_allowed_consumed_raises():
+    """ADVICE r3: a node declaring an extra output that nothing reads (e.g.
+    MaxPool's optional Indices) must still execute; an extra output that IS
+    consumed downstream (or is a graph output) must fail loudly."""
+    import pytest
+
+    from stableavatar_tpu.utils.onnx_runner import parse_onnx, run_graph
+
+    x = np.arange(16, dtype=np.float32).reshape(1, 1, 4, 4)
+
+    # MaxPool with a dead Indices output -> runs fine
+    n = _node("MaxPool", ["x"], ["y", "idx"],
+              _ld(5, _attr_ints("kernel_shape", [2, 2]))
+              + _ld(5, _attr_ints("strides", [2, 2])))
+    g = parse_onnx(_model([n], [], ["x"], ["y"]))
+    out = run_graph(g, {"x": x})
+    np.testing.assert_allclose(
+        np.asarray(out["y"]).reshape(2, 2),
+        np.array([[5, 7], [13, 15]], np.float32),
+    )
+
+    # same node but Indices is a graph output -> NotImplementedError
+    g2 = parse_onnx(_model([n], [], ["x"], ["y", "idx"]))
+    with pytest.raises(NotImplementedError, match="extra outputs"):
+        run_graph(g2, {"x": x})
+
+    # same node but Indices consumed by a downstream node -> raises too
+    n2 = _node("Relu", ["idx"], ["z"])
+    g3 = parse_onnx(_model([n, n2], [], ["x"], ["z"]))
+    with pytest.raises(NotImplementedError, match="extra outputs"):
+        run_graph(g3, {"x": x})

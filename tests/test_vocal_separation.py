@@ -80,3 +80,58 @@ def test_mdx_native_path_runs_tiny_model(tmp_path):
     # dim_f truncation)
     ratio = np.linalg.norm(vocals) / np.linalg.norm(stereo)
     assert 0.3 < ratio < 0.7, ratio
+
+
+def test_audio_extractor_gating_and_smoke(tmp_path):
+    """preprocess/audio_extractor.py (the last unsmoked preproc surface):
+    with ffmpeg absent the extractor fails LOUDLY (RuntimeError gate, not a
+    silent empty wav); with ffmpeg present it really extracts a 16 kHz mono
+    wav from a synthesized mp4."""
+    import numpy as np
+    import pytest
+
+    from stableavatar_tpu.preprocess.audio_extractor import extract
+    from stableavatar_tpu.utils import media
+
+    if not media.ffmpeg_available():
+        with pytest.raises(RuntimeError, match="ffmpeg"):
+            extract("nonexistent.mp4", str(tmp_path / "o.wav"))
+        pytest.skip("ffmpeg not available - real extraction path untested")
+
+    import subprocess
+
+    mp4 = str(tmp_path / "in.mp4")
+    subprocess.run(
+        ["ffmpeg", "-y", "-f", "lavfi", "-i", "sine=frequency=440:duration=1",
+         "-f", "lavfi", "-i", "color=c=black:s=64x64:d=1",
+         "-shortest", mp4],
+        check=True, capture_output=True,
+    )
+    out = extract(mp4, str(tmp_path / "o.wav"), sr=16000)
+    wav, sr = media.load_wav(out, 16000)
+    assert sr == 16000
+    assert 0.9 <= len(wav) / 16000 <= 1.1
+    # a 440 Hz tone, not silence
+    assert float(np.abs(wav).max()) > 0.05
+
+
+def test_hpss_fallback_warns_loudly(tmp_path, capsys):
+    """VERDICT r3: the DSP-fallback quality cliff must announce itself."""
+    import warnings as _w
+
+    import numpy as np
+
+    from stableavatar_tpu.preprocess.vocal_separator import separate
+    from stableavatar_tpu.utils.media import save_wav
+
+    wav = (np.random.default_rng(0).standard_normal(16000) * 0.1).astype(np.float32)
+    src = str(tmp_path / "in.wav")
+    save_wav(src, wav, 16000)
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = separate(src, str(tmp_path / "out.wav"))
+    assert out
+    err = capsys.readouterr().err
+    assert "VOCAL SEPARATION QUALITY WARNING" in err
+    assert any("HPSS" in str(r.message) for r in rec)
