@@ -123,6 +123,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reference_attn_numerics", action="store_true",
                    help="drop vocal k_lens padding masks in cross-attention, "
                         "bit-matching the shipped reference SDPA path")
+    # unbounded-length output: stream decoded u8 segments straight to the
+    # mp4 writer so host RAM stays O(segment) instead of O(duration) —
+    # a 5-minute 512^2 clip is ~23 GB as one float array
+    p.add_argument("--stream_output", action="store_true")
     # parallelism (reference: xfuser ulysses/ring + FSDP)
     # multi-host bootstrap (parallel/distributed.py; reference scale-out is
     # 8 machines x 8 GPUs via Accelerate static rendezvous)
@@ -429,6 +433,14 @@ def main(argv=None):
         text_ctx.block_until_ready()
         print(f"[stableavatar-tpu] prompt encoded ({_time.time()-_t0:.0f}s)", flush=True)
 
+    os.makedirs(args.output_dir, exist_ok=True)
+    out_path = os.path.join(args.output_dir, f"video_seed{args.seed}.mp4")
+    sink_writer = None
+    if args.stream_output:
+        from stableavatar_tpu.utils.video_io import StreamingVideoWriter
+
+        sink_writer = StreamingVideoWriter(out_path, fps=args.fps)
+
     with mesh_context(mesh):
         if mesh is not None:
             models.dit_params = shard_params(models.dit_params, mesh)
@@ -453,12 +465,14 @@ def main(argv=None):
             seed=args.seed,
             shift=(args.sample_shift if args.sample_shift is not None else 5.0),
             color_correction_strength=args.color_correction_strength,
+            frame_sink=sink_writer.append if sink_writer is not None else None,
         )
 
     print(f"[stableavatar-tpu] generation done ({_time.time()-_t0:.0f}s)", flush=True)
-    os.makedirs(args.output_dir, exist_ok=True)
-    out_path = os.path.join(args.output_dir, f"video_seed{args.seed}.mp4")
-    out_path = save_videos_grid(out.videos, out_path, fps=args.fps) or out_path
+    if sink_writer is not None:
+        out_path = sink_writer.close()
+    else:
+        out_path = save_videos_grid(out.videos, out_path, fps=args.fps) or out_path
     # mux the driving audio when ffmpeg is available (reference
     # save_video_ffmpeg crops + muxes, inference.py:53-89)
     from stableavatar_tpu.utils.media import ffmpeg_available, mux_audio

@@ -432,6 +432,7 @@ def generate_long(
     initial_latents=None,  # optional [1, 16, infer_length, lh, lw] noise
     step_callback=None,  # optional fn(step_index, latents_all) for parity probes
     color_correction_strength: float = 0.0,  # opt-in LAB match to ref image
+    frame_sink=None,  # optional fn([1,3,T,H,W] u8 segment): stream frames out
 ) -> LongPipelineOutput:
     """Audio-driven unbounded-length generation (reference §3.2 call stack)."""
     import contextlib
@@ -625,20 +626,38 @@ def generate_long(
         # this phase measures first-segment decode compute; the remaining
         # segments decode under the transfer phase, overlapped
         np.asarray(segs_u8[0][0, 0, 0, 0, 0])
-    with phase("video_transfer"):
-        video = np.concatenate(
-            [np.asarray(s) for s in segs_u8], axis=2
-        ).astype(np.float32) / 255.0
-    if color_correction_strength > 0.0:
+    def correct(video: np.ndarray) -> np.ndarray:
         # opt-in (default off = reference parity: the util is imported but
         # never called at `wan_inference_long_pipeline.py:32`): LAB-match
-        # the decoded stream to the reference image for long-run color drift
+        # the decoded stream to the reference image for long-run color
+        # drift; frame-local, so it applies per segment under streaming
+        if color_correction_strength <= 0.0:
+            return video
         from stableavatar_tpu.utils.color_correction import match_and_blend_colors
 
         ref_np = np.asarray(ref_image, np.float32)[:, :, None]  # [1,3,1,H,W]
-        video = np.clip(
+        return np.clip(
             (match_and_blend_colors(
                 video * 2.0 - 1.0, ref_np, color_correction_strength,
             ) + 1.0) / 2.0, 0.0, 1.0,
         )
+
+    if frame_sink is not None:
+        # unbounded-length output path: each u8 segment streams to the sink
+        # (device->host transfer still overlaps the next segment's decode);
+        # host memory stays O(segment) instead of O(duration)
+        with phase("video_transfer"):
+            for s in segs_u8:
+                seg = np.asarray(s)
+                if color_correction_strength > 0.0:
+                    seg = (correct(seg.astype(np.float32) / 255.0)
+                           * 255.0).round().astype(np.uint8)
+                frame_sink(seg)
+        return LongPipelineOutput(videos=None, latents=latents)
+
+    with phase("video_transfer"):
+        video = np.concatenate(
+            [np.asarray(s) for s in segs_u8], axis=2
+        ).astype(np.float32) / 255.0
+    video = correct(video)
     return LongPipelineOutput(videos=video, latents=latents)

@@ -53,6 +53,70 @@ def save_videos_grid(video: np.ndarray, path: str, fps: int = 25) -> str:
     return path
 
 
+class StreamingVideoWriter:
+    """Incremental mp4 writer for unbounded-length generation.
+
+    The long pipeline's latent buffers are O(duration/64) in HBM, but
+    returning the decoded video as one float array makes HOST RAM the
+    binding constraint (a 5-minute 512^2 clip is ~23 GB f32).  Streaming
+    each decoded uint8 segment straight to disk keeps host memory
+    O(segment).  Wire via `generate_long(frame_sink=writer.append)`.
+
+    Same backend ladder as `save_videos_grid`: imageio/libx264 when an
+    ffmpeg backend exists, per-frame PNG directory otherwise (the path
+    actually written is returned by `close()`)."""
+
+    def __init__(self, path: str, fps: int = 25):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._path = path
+        self._fps = fps
+        self._writer = None
+        self._png_dir: Optional[str] = None
+        self.frames_written = 0
+
+    def _ensure_writer(self):
+        if self._writer is not None or self._png_dir is not None:
+            return
+        import imageio
+
+        try:
+            self._writer = imageio.get_writer(
+                self._path, fps=self._fps, codec="libx264", quality=8
+            )
+        except Exception:
+            self._png_dir = os.path.splitext(self._path)[0]
+            os.makedirs(self._png_dir, exist_ok=True)
+
+    def append(self, segment: np.ndarray) -> None:
+        """segment: [B, 3, T, H, W] uint8 (or float in [0,1])."""
+        if segment.dtype != np.uint8:
+            segment = (np.clip(segment, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+        self._ensure_writer()
+        frames = segment.transpose(2, 3, 0, 4, 1)  # [T, H, B, W, C]
+        t, h, b, w, c = frames.shape
+        frames = frames.reshape(t, h, b * w, c)
+        import imageio
+
+        for fr in frames:
+            if self._writer is not None:
+                self._writer.append_data(fr)
+            else:
+                imageio.imwrite(
+                    os.path.join(self._png_dir,
+                                 f"frame_{self.frames_written:06d}.png"), fr)
+            self.frames_written += 1
+
+    def close(self) -> str:
+        if self._writer is not None:
+            self._writer.close()
+            return self._path
+        if self._png_dir is not None:
+            print(f"[stableavatar-tpu] no ffmpeg video backend - wrote "
+                  f"{self.frames_written} PNG frames to {self._png_dir}/")
+            return self._png_dir
+        return self._path
+
+
 def save_image(image: np.ndarray, path: str) -> None:
     """image [C, H, W] in [0, 1]."""
     import imageio

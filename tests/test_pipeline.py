@@ -593,3 +593,38 @@ def test_single_clip_teacache(tiny_models):
     assert tiny_models.teacache.skipped_calls > 0
     assert np.isfinite(np.asarray(skipping.latents)).all()
     tiny_models.teacache = None
+
+
+def test_frame_sink_streams_identical_frames(tiny_models, tmp_path):
+    """Unbounded-length output path: frame_sink receives u8 segments whose
+    concatenation equals the in-memory video (same decode, same order), and
+    StreamingVideoWriter persists exactly that many frames with host memory
+    O(segment)."""
+    from stableavatar_tpu.utils.video_io import StreamingVideoWriter
+
+    rng = np.random.default_rng(11)
+    ref = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    wav = rng.standard_normal(18 * 640).astype(np.float32) * 0.1
+    kwargs = dict(
+        ref_image=ref, vocal_waveform=wav, prompt="a person talking",
+        num_inference_steps=2, clip_length=9, overlap_window_length=1,
+        seed=3,
+    )
+
+    base = generate_long(tiny_models, **kwargs)
+
+    segs = []
+    out = generate_long(tiny_models, frame_sink=segs.append, **kwargs)
+    assert out.videos is None  # nothing accumulated in host RAM
+    assert len(segs) >= 1
+    streamed = np.concatenate(segs, axis=2).astype(np.float32) / 255.0
+    np.testing.assert_allclose(streamed, base.videos, atol=1e-6)
+
+    w = StreamingVideoWriter(str(tmp_path / "out.mp4"), fps=25)
+    for s in segs:
+        w.append(s)
+    path = w.close()
+    assert w.frames_written == base.videos.shape[2]
+    import os as _os
+
+    assert _os.path.exists(path)
