@@ -179,7 +179,20 @@ def load_models(args):
     from stableavatar_tpu.pipelines.common import WanModels
     from stableavatar_tpu.utils import checkpoint as ckpt
 
+    # STABLEAVATAR_TINY=1: self-consistent miniature configs so the FULL
+    # CLI path drives end to end on a CPU in seconds (checkpoint-free
+    # plumbing smoke; outputs are random-weight noise)
+    tiny_cfgs = None
+    if os.environ.get("STABLEAVATAR_TINY") == "1":
+        from stableavatar_tpu.config import tiny_debug_configs
+
+        tiny_cfgs = tiny_debug_configs()
+        print("[stableavatar-tpu] STABLEAVATAR_TINY=1 - tiny debug models "
+              "(plumbing smoke only)")
+
     cfg = WAN_14B if args.model_family == "14B" else WAN_1_3B
+    if tiny_cfgs is not None:
+        cfg = tiny_cfgs[0]
     if getattr(args, "enable_riflex", False):
         import dataclasses as _dc
 
@@ -210,7 +223,7 @@ def load_models(args):
         dit_params = ckpt.merge_pt_override(dit_params, sd, cfg)
     dit_params = cast_params(dit_params, jnp.bfloat16)
 
-    vae_cfg = VAEConfig()
+    vae_cfg = tiny_cfgs[1] if tiny_cfgs is not None else VAEConfig()
     if maybe("Wan2.1_VAE.pth"):
         sd = ckpt.load_torch_state_dict(os.path.join(root, "Wan2.1_VAE.pth"))
         vae_params = ckpt.convert_vae(sd, vae_cfg)
@@ -222,7 +235,7 @@ def load_models(args):
 
     from stableavatar_tpu.config import T5Config, CLIPConfig, Wav2Vec2Config
 
-    t5_cfg = T5Config()
+    t5_cfg = tiny_cfgs[2] if tiny_cfgs is not None else T5Config()
     # umT5-xxl is ~11.4 GB bf16 and is used exactly once per request; on a
     # 16 GB v5e it cannot coexist with the DiT + decode working set, so any
     # mode but model_full_load keeps it in HOST RAM and encodes on the CPU
@@ -252,7 +265,7 @@ def load_models(args):
             )(ks[2])
         jax.block_until_ready(jax.tree.leaves(t5_params)[0])
 
-    clip_cfg = CLIPConfig()
+    clip_cfg = tiny_cfgs[3] if tiny_cfgs is not None else CLIPConfig()
     if maybe("models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth"):
         sd = ckpt.load_torch_state_dict(
             os.path.join(root, "models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth")
@@ -264,7 +277,7 @@ def load_models(args):
             lambda k: cast_params(init_clip_visual(k, clip_cfg), jnp.bfloat16)
         )(ks[3])
 
-    w2v_cfg = Wav2Vec2Config()
+    w2v_cfg = tiny_cfgs[4] if tiny_cfgs is not None else Wav2Vec2Config()
     if args.pretrained_wav2vec_path and os.path.isdir(args.pretrained_wav2vec_path):
         # honor the checkpoint's processor normalization setting
         pc = os.path.join(args.pretrained_wav2vec_path, "preprocessor_config.json")

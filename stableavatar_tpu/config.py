@@ -178,3 +178,36 @@ class SchedulerConfig:
     max_shift: float = 1.15
     base_image_seq_len: int = 256
     max_image_seq_len: int = 4096
+
+
+def tiny_debug_configs():
+    """Self-consistent miniature config set for checkpoint-free smoke runs.
+
+    Enabled in the inference CLI with STABLEAVATAR_TINY=1: every model is a
+    few layers of width ~32, so the full CLI path (flags -> models ->
+    generate_long -> mp4) drives end to end on a CPU in seconds.  Outputs
+    are random-weight noise — this exists to exercise the plumbing, not to
+    generate video.  Mirrors the tiny e2e fixtures in tests/test_pipeline.py.
+    """
+    dit = DiTConfig(
+        dim=32, ffn_dim=64, freq_dim=16, text_dim=32,
+        in_dim=12,  # z(4) + mask(4) + masked latents(4)
+        out_dim=4, num_heads=4, num_layers=2, text_len=16,
+        clip_tokens=5, clip_dim=32, audio_in_dim=16, audio_proj_dim=32,
+        vocal_num_heads=4,
+    )
+    vae = VAEConfig(
+        dim=4, z_dim=4, dim_mult=(1, 2, 2), num_res_blocks=1,
+        temporal_downsample=(True, True), temporal_compression_ratio=4,
+        spatial_compression_ratio=4,
+        latent_mean=(0.0,) * 4, latent_std=(1.0,) * 4,
+    )
+    t5 = T5Config(vocab=64, dim=32, dim_attn=32, dim_ffn=64, num_heads=4,
+                  num_layers=2, text_len=16)
+    clip = CLIPConfig(image_size=28, patch_size=14, vision_dim=32,
+                      vision_heads=2, vision_layers=2)
+    w2v = Wav2Vec2Config(hidden_size=16, num_layers=2, num_heads=2,
+                         ffn_dim=32, conv_dims=(8,) * 7,
+                         num_conv_pos_embeddings=16,
+                         num_conv_pos_embedding_groups=4)
+    return dit, vae, t5, clip, w2v
