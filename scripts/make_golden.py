@@ -23,6 +23,7 @@ import numpy as np  # noqa: E402
 def main():
     from tests.test_solver_quality import make_active_models
     from stableavatar_tpu.pipelines.long import generate_long
+    from stableavatar_tpu.pipelines.single_clip import generate_single_clip
 
     models = make_active_models()
     rng = np.random.default_rng(7)
@@ -33,11 +34,22 @@ def main():
         num_inference_steps=4, clip_length=9, overlap_window_length=1,
         seed=0, scheduler="euler",
     )
-    path = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
-                        "generate_long_tiny.npz")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    gdir = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
+    os.makedirs(gdir, exist_ok=True)
+    path = os.path.join(gdir, "generate_long_tiny.npz")
     np.savez_compressed(path, videos=np.asarray(out.videos, np.float16))
     print(f"wrote {os.path.abspath(path)} shape={out.videos.shape}")
+
+    ids = np.ones(16, np.int32)
+    out_sc = generate_single_clip(
+        models, ref_image=ref, vocal_waveform=wav,
+        prompt_ids=(ids, ids),
+        negative_prompt_ids=(np.zeros(16, np.int32), ids),
+        num_inference_steps=4, clip_length=9, seed=0,
+    )
+    path_sc = os.path.join(gdir, "generate_single_clip_tiny.npz")
+    np.savez_compressed(path_sc, videos=np.asarray(out_sc.videos, np.float16))
+    print(f"wrote {os.path.abspath(path_sc)} shape={out_sc.videos.shape}")
 
 
 if __name__ == "__main__":

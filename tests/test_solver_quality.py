@@ -116,3 +116,27 @@ def test_golden_output_regression(models, inputs):
     p = psnr(vid, g)
     print(f"golden PSNR: {p:.2f} dB")
     assert p > 40.0, f"default-path numerics drifted vs golden ({p:.2f} dB)"
+
+
+def test_golden_single_clip_regression(models, inputs):
+    """Same guard for the fantasy single-clip pipeline."""
+    from stableavatar_tpu.pipelines.single_clip import generate_single_clip
+
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "generate_single_clip_tiny.npz")
+    if not os.path.exists(golden):
+        pytest.skip("golden file missing - run scripts/make_golden.py")
+    ref, wav = inputs
+    ids = np.ones(16, np.int32)
+    out = generate_single_clip(
+        models, ref_image=ref, vocal_waveform=wav,
+        prompt_ids=(ids, ids),
+        negative_prompt_ids=(np.zeros(16, np.int32), ids),
+        num_inference_steps=4, clip_length=9, seed=0,
+    )
+    vid = np.asarray(out.videos, np.float32)
+    g = np.load(golden)["videos"].astype(np.float32)
+    assert g.shape == vid.shape
+    p = psnr(vid, g)
+    print(f"single-clip golden PSNR: {p:.2f} dB")
+    assert p > 40.0, f"single-clip numerics drifted vs golden ({p:.2f} dB)"
