@@ -303,7 +303,7 @@ def run_bench():
         overlap=overlap, scheduler="unipc",
     )
     t_wstep_rs = phases_rs["denoise_step"]["total_s"] / (rs_steps * n_windows)
-    sweep_rs = 25 * t_wstep_rs + out_cost
+    sweep_rs = rs_steps * t_wstep_rs + out_cost
     steady_rate_rs = (adv_video_frames / fps) / sweep_rs * 60.0
     finite_rate_rs = video_sec / wall_rs * 60.0
 
@@ -348,11 +348,13 @@ def run_bench():
     # TeaCache composed with the reduced-step operating point (same capped
     # skip fraction applied to the measured unipc window step)
     eff_step_rs = t_wstep_rs * (1 - skip_frac) + t_skip * skip_frac
-    steady_rate_rs_tc = (adv_video_frames / fps) / (25 * eff_step_rs + out_cost) * 60.0
+    steady_rate_rs_tc = (
+        (adv_video_frames / fps) / (rs_steps * eff_step_rs + out_cost) * 60.0
+    )
 
     detail = {
         "measured": "direct generate_long runs, 512^2, overlap 15, 2 windows",
-        "headline": "matched-quality UniPC-2 @ 25 steps (see module "
+        "headline": f"matched-quality UniPC-2 @ {rs_steps} steps (see module "
                     "docstring; quality: tests/test_solver_quality.py)",
         "unipc25_window_step_s": round(t_wstep_rs, 4),
         "unipc25_finite_run_video_s_per_min": round(finite_rate_rs, 4),
@@ -410,11 +412,14 @@ def maybe_autoprobe_weights():
 
 
 def main():
-    maybe_autoprobe_weights()
+    # probe the backend FIRST: with a dead tunnel the autoprobe's parity
+    # subprocess would hang at backend init until its 2 h timeout (and lose
+    # its results), turning an outage into a stalled round
     err = probe_backend()
     if err:
         _emit(0.0, 0.0, error=err)
         return 0
+    maybe_autoprobe_weights()
     try:
         value, detail = run_bench()
     except Exception as e:  # noqa: BLE001 — a crash must still emit a line

@@ -146,18 +146,25 @@ def resolve_fast_path(args):
 
     Returns (prepare, quant, rope_split, attn_quant).
 
-    `model_cpu_offload_and_qfloat8` stores + computes the per-block linears
-    in int8 — the TPU analog of the reference's fp8 weight storage
-    (`wan/utils/fp8_optimization.py:28-56`, applied at
-    `inference.py:516-518`); attention stays bf16 unless --fast_path asks
-    for int8 QK as well.
+    `model_cpu_offload_and_qfloat8` quantizes weight STORAGE only
+    (quant="store": int8 weights + per-channel scales, dequantized to bf16
+    at use) — the TPU analog of the reference's fp8 weight storage with
+    autocast compute (`wan/utils/fp8_optimization.py:28-56`, applied at
+    `inference.py:516-518`).  It is a memory mode: compute stays bf16.
+    int8 COMPUTE (W8A8 linears, int8 QK) remains an explicit perf opt-in
+    via --fast_path.
     """
     fast = getattr(args, "fast_path", "off")
     quant_store = (
         getattr(args, "GPU_memory_mode", "") == "model_cpu_offload_and_qfloat8"
     )
     prepare = fast != "off" or quant_store
-    quant = (fast == "linears") or quant_store
+    if fast == "linears":
+        quant = True  # W8A8 compute (covers the storage saving too)
+    elif quant_store:
+        quant = "store"
+    else:
+        quant = False
     attn_quant = "qk" if fast in ("qk", "linears") else "none"
     return prepare, quant, prepare, attn_quant
 
@@ -347,7 +354,9 @@ def load_models(args):
             return ids, mask
 
     teacache = None
-    if args.enable_teacache:
+    # getattr: load_models is shared with cli/train.py, whose parser has no
+    # inference-only teacache flags
+    if getattr(args, "enable_teacache", False):
         from stableavatar_tpu.models.teacache import TeaCache, get_teacache_coefficients
 
         coef = get_teacache_coefficients(f"wan2.1-t2v-{args.model_family.lower()}")
@@ -395,8 +404,12 @@ def main(argv=None):
     from stableavatar_tpu.utils.media import load_image, load_wav
     from stableavatar_tpu.utils.video_io import save_videos_grid
 
-    from stableavatar_tpu.parallel.distributed import initialize_distributed
+    from stableavatar_tpu.parallel.distributed import (
+        apply_platform_override,
+        initialize_distributed,
+    )
 
+    apply_platform_override()
     initialize_distributed(
         args.coordinator_address, args.num_processes, args.process_id
     )
@@ -490,9 +503,13 @@ def main(argv=None):
     # save_video_ffmpeg crops + muxes, inference.py:53-89)
     from stableavatar_tpu.utils.media import ffmpeg_available, mux_audio
 
-    if ffmpeg_available():
+    if not out_path.endswith(".mp4"):
+        # StreamingVideoWriter's PNG-directory fallback (no mp4 backend):
+        # nothing to mux audio into
+        print("audio mux skipped: output is a frame directory, not an mp4")
+    elif ffmpeg_available():
         try:
-            muxed = out_path.replace(".mp4", "_audio.mp4")
+            muxed = out_path[: -len(".mp4")] + "_audio.mp4"
             mux_audio(out_path, args.validation_driven_audio_path, muxed)
             out_path = muxed
         except Exception as e:

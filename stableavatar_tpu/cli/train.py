@@ -94,6 +94,8 @@ def build_parser():
     p.add_argument("--network_alpha", type=int, default=64)
     # checkpointing
     p.add_argument("--output_dir", type=str, default="train_output")
+    p.add_argument("--log_every", type=int, default=10,
+                   help="metrics JSONL/TensorBoard cadence in steps")
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--checkpoints_total_limit", type=int, default=3)
     p.add_argument("--resume_from_checkpoint", type=str, default="latest")
@@ -123,8 +125,12 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     # must run before any other jax API touches the backend
-    from stableavatar_tpu.parallel.distributed import initialize_distributed
+    from stableavatar_tpu.parallel.distributed import (
+        apply_platform_override,
+        initialize_distributed,
+    )
 
+    apply_platform_override()
     initialize_distributed(
         args.coordinator_address, args.num_processes, args.process_id
     )
@@ -234,6 +240,7 @@ def main(argv=None):
             resume_from_checkpoint=args.resume_from_checkpoint,
             seed=args.seed,
             train_mode=args.train_mode,
+            log_every=args.log_every,
             validation_steps=args.validation_steps,
             validation_cfg=validation_cfg,
         )

@@ -27,6 +27,7 @@ Behaviors preserved:
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Dict, List, Optional
 
@@ -128,6 +129,7 @@ class TalkingVideoDataset:
         self.enable_inpaint = enable_inpaint
         self.rng = np.random.default_rng(seed)
         self._fps_cache: Dict[str, float] = {}
+        self._audio_target: Optional[int] = None
 
     def __len__(self):
         return len(self.clips)
@@ -167,6 +169,25 @@ class TalkingVideoDataset:
             fps = 25.0
         self._fps_cache[clip] = fps
         return fps
+
+    def audio_target_len(self) -> int:
+        """Fixed (per-dataset) audio sample count every sample is padded /
+        truncated to, so batches stack into static TPU shapes.  Sized for
+        the FULL frame span at the slowest fps in play — a per-clip slice
+        (`span/clip_fps` seconds) can never exceed it, so no clip's window
+        audio is ever truncated (short clips / fast fps zero-pad)."""
+        if self._audio_target is None:
+            full_span = (self.clip_length - 1) * self.sample_frame_rate + 1
+            if self.fps is not None:
+                fps = float(self.fps)
+            else:
+                fps = min(
+                    (self._clip_fps(c, len(self._frame_paths(c)))
+                     for c in self.clips),
+                    default=25.0,
+                )
+            self._audio_target = int(math.ceil(full_span * self.sr / fps))
+        return self._audio_target
 
     def window_indices(self, n_frames: int, start: Optional[int] = None,
                        rng=None) -> List[int]:
@@ -217,11 +238,13 @@ class TalkingVideoDataset:
         # audio window, sample-accurate to the spanned frame window: the
         # reference slices [start/fps, start/fps + span/fps) in float
         # seconds (`:251-258`) — with stride>1 the audio covers the full
-        # span, not n_sample_frames/fps.  Length is then fixed per dataset
-        # (zero-pad/truncate) so batches stack into static TPU shapes.
+        # span, not n_sample_frames/fps.  Length is then fixed PER DATASET
+        # (audio_target_len: zero-pad up to the slowest-fps full span) so
+        # mixed-length clips still stack into static TPU batch shapes and
+        # no clip's window audio gets truncated.
         fps = self._clip_fps(clip, n)
         wav_path = os.path.join(clip, "audio.wav")
-        target = int(round(span * self.sr / (self.fps if self.fps else 25.0)))
+        target = self.audio_target_len()
         if os.path.exists(wav_path):
             wav, _ = load_wav(wav_path, self.sr)
             a0 = int(sel[0] / fps * self.sr)

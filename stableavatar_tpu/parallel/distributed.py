@@ -31,6 +31,24 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def apply_platform_override() -> None:
+    """Honor JAX_PLATFORMS for direct CLI runs.
+
+    This image's sitecustomize imports jax and pins the remote-TPU (axon)
+    platform BEFORE user env vars are read, so `JAX_PLATFORMS=cpu python -m
+    stableavatar_tpu.cli.inference ...` would silently still target the
+    tunnel (and hang during an outage).  Re-applying the env var through
+    jax.config as the first backend-relevant call restores the documented
+    behavior.  Must run before any jax API touches the backend.
+    """
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:  # already-initialized backend: leave it be
+            pass
+
+
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

@@ -8,9 +8,17 @@ Two transforms over a DiT parameter pytree (`models/dit.py:init_dit` layout):
    (`ops/rope.py:split_pair_permutation`).  Attention logits are invariant
    under this joint permutation; it lets the flash kernel fuse the rotation
    as two contiguous half-register ops (`ops/flash_attention.py`).
-2. **int8 compute quantization (W8A8)** of every per-block linear
-   (self/cross attention projections + FFN), run on the int8 MXU at ~2x bf16
-   throughput (`utils/quantization.py:int8_linear`).
+2. **int8 quantization** of every per-block linear (self/cross attention
+   projections + FFN), in one of two forms:
+   - `quant=True` — COMPUTE quantization (W8A8): the matmul runs on the
+     int8 MXU at ~2x bf16 throughput (`utils/quantization.py:int8_linear`).
+     Activations are dynamically quantized; numerics shift accordingly.
+   - `quant="store"` — STORAGE quantization only: weights live as int8 +
+     per-channel scales (half the HBM) and are dequantized to bf16 at use
+     (XLA fuses the dequant multiply into the matmul).  This is the TPU
+     analog of the reference's fp8 weight-storage memory mode
+     (`wan/utils/fp8_optimization.py:28-56`): weight-rounding error only,
+     bf16 compute.
 
 Prepared params are consumed by `dit_forward(..., rope_split=True,
 attn_quant=...)`.  They are an inference-only representation: not meant for
@@ -24,7 +32,10 @@ import numpy as np
 
 from stableavatar_tpu.config import DiTConfig
 from stableavatar_tpu.ops.rope import split_pair_permutation
-from stableavatar_tpu.utils.quantization import quantize_weight_for_compute
+from stableavatar_tpu.utils.quantization import (
+    quantize_weight,
+    quantize_weight_for_compute,
+)
 
 # per-block linear params large enough to benefit from the int8 MXU
 _QUANT_TARGETS = (
@@ -53,10 +64,12 @@ def _copy2(tree):
     }
 
 
-def prepare_fast_params(params, cfg: DiTConfig, quant: bool = True):
+def prepare_fast_params(params, cfg: DiTConfig, quant=True):
     """Return a fast-path param tree (input tree is not modified).
 
-    quant=False applies only the rope permutation (use with
+    quant=True quantizes for int8 MXU COMPUTE (W8A8); quant="store"
+    quantizes weight STORAGE only (bf16 compute, `apply_linear` dequant
+    dispatch); quant=False applies only the rope permutation (use with
     `attn_quant="none"` for a bf16-but-fused-rope configuration).
     """
     out = dict(params)
@@ -78,7 +91,10 @@ def prepare_fast_params(params, cfg: DiTConfig, quant: bool = True):
         for mod, name in _QUANT_TARGETS:
             grp = blocks[mod] = dict(blocks[mod])
             p = grp[name]
-            new = {"w8": quantize_weight_for_compute(p["w"])}
+            if quant == "store":
+                new = {"w": quantize_weight(p["w"])}
+            else:
+                new = {"w8": quantize_weight_for_compute(p["w"])}
             if "b" in p:
                 new["b"] = p["b"]
             grp[name] = new

@@ -117,6 +117,63 @@ def test_dataset_fps_from_audio_duration_fallback(clip_dir):
     assert s["pixel_values"].shape == (3, 9, 32, 32)
 
 
+def test_dataset_mixed_clip_lengths_batch_stacks(tmp_path):
+    """Audio target length is fixed PER DATASET (audio_target_len), so a
+    batch mixing a short clip (span-limited) with a long one still stacks —
+    per-clip-span targets crashed np.stack here."""
+    import cv2
+
+    from stableavatar_tpu.data.dataset import TalkingVideoDataset
+    from stableavatar_tpu.utils.media import save_wav
+
+    root = tmp_path / "data"
+    rng = np.random.default_rng(0)
+    for name, n_frames in (("speech_long", 20), ("speech_short", 5)):
+        clip = root / name
+        (clip / "images").mkdir(parents=True)
+        for i in range(n_frames):
+            frame = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+            cv2.imwrite(str(clip / "images" / f"{i:05d}.png"), frame)
+        wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+        save_wav(str(clip / "audio.wav"), wav, 16000)
+    index = root / "index.txt"
+    index.write_text(str(root / "speech_long") + "\n"
+                     + str(root / "speech_short") + "\n")
+
+    ds = TalkingVideoDataset(str(index), sample_size=(32, 32), clip_length=9,
+                             fps=25, seed=0)
+    target = ds.audio_target_len()
+    assert ds[0]["vocal_input_values"].shape == (target,)
+    assert ds[1]["vocal_input_values"].shape == (target,)
+    batch = next(ds.batches(2))
+    assert batch["vocal_input_values"].shape == (2, target)
+
+
+def test_dataset_probed_fps_audio_not_truncated(clip_dir):
+    """fps=None probe mode on a slow clip (12 fps fixture): the audio
+    target is derived from the probed fps, so the full window's audio is
+    retained — a 25 fps-derived target silently truncated it to 48%."""
+    from stableavatar_tpu.data.dataset import TalkingVideoDataset
+    from stableavatar_tpu.utils.media import load_wav
+
+    ds = TalkingVideoDataset(clip_dir, sample_size=(32, 32), clip_length=9,
+                             fps=None, seed=0)
+    # 12 frames over 1.0 s -> probed fps 12; the 9-frame window spans
+    # 9/12 s = 12000 samples at 16 kHz
+    assert ds.audio_target_len() == 12000
+    got = ds[0]["vocal_input_values"]
+    assert got.shape == (12000,)
+
+    # clip_length=12 pins start=0 (span == n_frames): the sample's audio is
+    # exactly the window's wav slice, bit-for-bit — no truncation
+    ds_full = TalkingVideoDataset(clip_dir, sample_size=(32, 32),
+                                  clip_length=12, fps=None, seed=0)
+    wav, _ = load_wav(os.path.join(ds_full.clips[0], "audio.wav"), 16000)
+    got_full = ds_full[0]["vocal_input_values"]
+    assert got_full.shape == (16000,)
+    np.testing.assert_array_equal(got_full, wav[:16000])
+
+
 def test_interleaved_shares_one_decode_pool(clip_dir):
     """ADVICE r3: InterleavedDataset uses ONE executor across sub-datasets
     and shuts it down when the iterator is closed."""
@@ -228,8 +285,10 @@ def test_cli_qfloat8_mode_quantizes_and_teacache_multistep_allowed():
     """VERDICT r3 item 4: (a) --enable_teacache composes with dpm++/unipc
     (no CLI guard — the pipeline implements + tests the composition);
     (b) model_cpu_offload_and_qfloat8 actually enables int8 weight storage
-    (prepare_fast_params(quant=True)), matching the reference fp8-storage
-    intent (wan/utils/fp8_optimization.py:28-56)."""
+    (prepare_fast_params(quant="store"): int8 weights, bf16 COMPUTE),
+    matching the reference fp8-storage-with-autocast-compute semantics
+    (wan/utils/fp8_optimization.py:28-56) — W8A8 compute stays an explicit
+    --fast_path opt-in."""
     from stableavatar_tpu.cli.inference import build_parser, resolve_fast_path
 
     p = build_parser()
@@ -239,7 +298,7 @@ def test_cli_qfloat8_mode_quantizes_and_teacache_multistep_allowed():
     args = p.parse_args(base + ["--GPU_memory_mode",
                                 "model_cpu_offload_and_qfloat8"])
     prepare, quant, rope_split, attn_quant = resolve_fast_path(args)
-    assert prepare and quant and rope_split
+    assert prepare and quant == "store" and rope_split
     assert attn_quant == "none"  # weight storage quant, bf16 attention
 
     args = p.parse_args(base)  # default model_cpu_offload: no quantization
@@ -248,7 +307,10 @@ def test_cli_qfloat8_mode_quantizes_and_teacache_multistep_allowed():
 
     args = p.parse_args(base + ["--fast_path", "linears"])
     prepare, quant, _, attn_quant = resolve_fast_path(args)
-    assert prepare and quant and attn_quant == "qk"
+    assert prepare and quant is True and attn_quant == "qk"
+
+    # forward-path structure/closeness: tests/test_fastpath.py::
+    # test_prepared_params_store_quant_forward_close
 
     # teacache + multistep parses (the old main() hard-error is retired)
     args = p.parse_args(base + ["--enable_teacache", "--sample_solver",

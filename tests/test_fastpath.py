@@ -281,6 +281,34 @@ def test_prepared_params_quant_forward_close():
     assert rel < 0.03, rel
 
 
+def test_prepared_params_store_quant_forward_close():
+    """quant='store' (the model_cpu_offload_and_qfloat8 memory mode): int8
+    weight STORAGE with bf16 compute.  Structure carries dequant-dispatch
+    'w' dicts (no W8A8 'w8' leaves) and the forward tracks the bf16
+    reference more tightly than W8A8 (weight-rounding error only), matching
+    the reference's fp8-storage-with-autocast semantics
+    (wan/utils/fp8_optimization.py:28-56)."""
+    from stableavatar_tpu.models.dit import dit_forward, init_dit
+    from stableavatar_tpu.utils.fastpath import prepare_fast_params
+
+    cfg = _tiny_cfg()
+    rng = np.random.default_rng(9)
+    params = _densify(init_dit(jax.random.PRNGKey(5), cfg))
+    inputs = _tiny_inputs(cfg, rng)
+
+    stored = prepare_fast_params(params, cfg, quant="store")
+    ffn = stored["blocks"]["ffn"]["fc1"]
+    assert "w8" not in ffn and isinstance(ffn["w"], dict)
+    assert ffn["w"]["q"].dtype == jnp.int8
+
+    want = np.asarray(dit_forward(params, cfg, *inputs, video_sample_n_frames=17))
+    got = np.asarray(
+        dit_forward(stored, cfg, *inputs, video_sample_n_frames=17, rope_split=True)
+    )
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.015, rel
+
+
 def test_generate_long_fast_path_close_to_baseline():
     """The whole long pipeline with prepared params (rope_split + W8A8)
     stays close to the bf16 pipeline — catches fast-path wiring bugs in the
