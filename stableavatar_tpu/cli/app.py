@@ -50,13 +50,24 @@ class AvatarService:
         fps: int = 25,
         GPU_memory_mode: str = "model_cpu_offload",
         motion_frame: int = 25,  # accepted-unused (reference parity)
+        sample_solver: str = "euler",
+        solver_order: int = 2,
+        stream_output: bool = False,
     ):
+        """`sample_solver`/`solver_order` expose the matched-quality
+        reduced-step operating point (unipc/dpm++ @ ~25 steps ~= euler @ 50,
+        tests/test_solver_quality.py) in serving — the reference app
+        hardwires euler (`app.py:284`) but its CLI ships the same solvers.
+        `stream_output` uses the O(segment)-host-RAM streaming writer."""
         from stableavatar_tpu.models.teacache import TeaCache, get_teacache_coefficients
         from stableavatar_tpu.pipelines.long import generate_long
         from stableavatar_tpu.utils.media import ffmpeg_available, load_image, load_wav, mux_audio
         from stableavatar_tpu.utils.video_io import save_videos_grid
 
         seed = seed_param if seed_param >= 0 else random.randint(0, 2**31 - 1)
+        # empty textboxes arrive as None from the shim (real gradio sends "")
+        prompt = prompt or ""
+        negative_prompt = negative_prompt or ""
 
         # reference semantics: threshold 0 disables TeaCache (app.py:284)
         if teacache_threshold <= 0:
@@ -76,6 +87,14 @@ class AvatarService:
         ref = load_image(image_path, (width, height))
         wav, sr = load_wav(audio_path, 16000)
 
+        base = os.path.join(self.output_dir, f"avatar_{seed}")
+        video_path = base + ".mp4"
+        sink_writer = None
+        if stream_output:
+            from stableavatar_tpu.utils.video_io import StreamingVideoWriter
+
+            sink_writer = StreamingVideoWriter(video_path, fps=fps)
+
         t0 = time.time()
         out = generate_long(
             self.models,
@@ -89,17 +108,21 @@ class AvatarService:
             clip_length=clip_length,
             overlap_window_length=overlap_window_length,
             overlapping_weight_scheme=overlapping_weight_scheme,
+            scheduler=sample_solver,
+            solver_order=solver_order,
             fps=fps,
             sr=sr,
             seed=seed,
+            frame_sink=sink_writer.append if sink_writer is not None else None,
         )
         elapsed = time.time() - t0
 
-        base = os.path.join(self.output_dir, f"avatar_{seed}")
-        video_path = base + ".mp4"
-        # report the path actually written (PNG-frame fallback when no
-        # ffmpeg video backend exists — same truthfulness fix as the CLI)
-        video_path = save_videos_grid(out.videos, video_path, fps=fps) or video_path
+        if sink_writer is not None:
+            video_path = sink_writer.close()
+        else:
+            # report the path actually written (PNG-frame fallback when no
+            # ffmpeg video backend exists — same truthfulness fix as the CLI)
+            video_path = save_videos_grid(out.videos, video_path, fps=fps) or video_path
         if ffmpeg_available() and video_path.endswith(".mp4"):
             muxed = base + "_audio.mp4"
             try:
@@ -141,6 +164,12 @@ def build_ui(service: AvatarService):
             with gr.Row():
                 steps = gr.Slider(10, 100, 50, step=1,
                                   label="Sampling Steps 采样步数 (Recommended 50)")
+                solver = gr.Dropdown(
+                    ["euler", "unipc", "dpm++"], value="euler",
+                    label="Solver 求解器",
+                    info="unipc/dpm++ @ ~25 steps match euler @ 50 "
+                         "(matched-quality reduced-step operating point)",
+                )
                 cfg_t = gr.Slider(1.0, 10.0, 3.0, label="Text Guidance 文本引导")
                 cfg_a = gr.Slider(1.0, 10.0, 5.0, label="Audio Guidance 音频引导")
             with gr.Row():
@@ -171,8 +200,8 @@ def build_ui(service: AvatarService):
             out_video = gr.Video(label="Result 结果")
             out_seed = gr.Number(label="Used Seed 使用的种子")
 
-            def _generate(img, aud, pr, neg, w, h, cf, st, ct, ca, ov, sch,
-                          fp, mm, mo, tt, ts, sd):
+            def _generate(img, aud, pr, neg, w, h, cf, st, sv, ct, ca, ov,
+                          sch, fp, mm, mo, tt, ts, sd):
                 video, used_seed, _ = service.generate(
                     img, aud, pr, neg, int(w), int(h),
                     guidance_scale=ct, audio_guidance_scale=ca,
@@ -182,14 +211,15 @@ def build_ui(service: AvatarService):
                     enable_teacache=tt > 0, teacache_threshold=tt,
                     num_skip_start_steps=int(ts), fps=int(fp),
                     GPU_memory_mode=mm, motion_frame=int(mo),
+                    sample_solver=sv,
                 )
                 return video, used_seed
 
             gr.Button("Generate 生成").click(
                 _generate,
                 [image, audio, prompt, negative, width, height, clip_frames,
-                 steps, cfg_t, cfg_a, overlap, scheme, fps, memory_mode,
-                 motion, tc_thresh, tc_skip, seed],
+                 steps, solver, cfg_t, cfg_a, overlap, scheme, fps,
+                 memory_mode, motion, tc_thresh, tc_skip, seed],
                 [out_video, out_seed],
             )
         with gr.Tab("Audio Extraction 音频提取"):
@@ -223,7 +253,9 @@ def main():
     import argparse
 
     from stableavatar_tpu.cli.inference import build_parser, load_models
+    from stableavatar_tpu.parallel.distributed import apply_platform_override
 
+    apply_platform_override()
     p = build_parser()
     p.add_argument("--server_name", type=str, default="0.0.0.0")
     p.add_argument("--server_port", type=int, default=7860)

@@ -255,7 +255,17 @@ class Blocks(_Layout):
                     if values is None:
                         values = blocks.default_inputs(name)
                     result = blocks.dispatch(name, values)
-                    body = json.dumps({"data": [repr(r) for r in result]})
+
+                    def enc(r):
+                        # JSON-native values pass through verbatim (paths,
+                        # seeds, ...); only non-serializable objects repr
+                        try:
+                            json.dumps(r)
+                            return r
+                        except TypeError:
+                            return repr(r)
+
+                    body = json.dumps({"data": [enc(r) for r in result]})
                     self._send(200, body.encode(), "application/json")
                 except Exception as e:  # surfaced to the client, not raised
                     self._send(500, json.dumps({"error": str(e)}).encode(),

@@ -48,15 +48,15 @@ def _gen_values(demo, img_path, wav_path):
     """Values for the Generate click wiring, in the UI's input order."""
     vals = demo.default_inputs("Generate 生成")
     # [image, audio, prompt, negative, width, height, clip_frames, steps,
-    #  cfg_t, cfg_a, overlap, scheme, fps, memory_mode, motion, tc_thresh,
-    #  tc_skip, seed]
+    #  solver, cfg_t, cfg_a, overlap, scheme, fps, memory_mode, motion,
+    #  tc_thresh, tc_skip, seed]
     vals[0], vals[1] = img_path, wav_path
     vals[2], vals[3] = "a person talking", ""
     vals[4] = vals[5] = 32  # width/height
     vals[6] = 9  # clip frames
     vals[7] = 2  # steps
-    vals[10] = 1  # overlap
-    vals[17] = 7  # seed
+    vals[11] = 1  # overlap
+    vals[18] = 7  # seed
     return vals
 
 
@@ -74,7 +74,7 @@ def test_build_ui_three_tab_contract(service):
         "Generate 生成", "Extract", "Separate",
     ]
     gen = demo.events[0]
-    assert len(gen["inputs"]) == 18 and len(gen["outputs"]) == 2
+    assert len(gen["inputs"]) == 19 and len(gen["outputs"]) == 2
 
 
 def test_generate_click_produces_video(service, inputs):
@@ -89,6 +89,25 @@ def test_generate_click_produces_video(service, inputs):
     assert os.path.exists(video), video
     # the output components received the values
     assert demo.events[0]["outputs"][0].value == video
+
+
+def test_service_generate_unipc_streaming(service, inputs):
+    """Serving exposes the round-4 reduced-step operating point + the
+    O(segment)-host-RAM streaming writer: generate() with sample_solver=unipc
+    and stream_output=True writes frames through the frame sink."""
+    img_path, wav_path = inputs
+    video, used_seed, _ = service.generate(
+        img_path, wav_path, "a person talking", "",
+        width=32, height=32, num_inference_steps=3, clip_length=9,
+        overlap_window_length=1, seed_param=11,
+        sample_solver="unipc", stream_output=True,
+    )
+    assert used_seed == 11
+    assert os.path.exists(video), video
+    # PNG-dir fallback (no ffmpeg backend in this image) or mp4 — either way
+    # the streamed output exists and is non-empty
+    if os.path.isdir(video):
+        assert os.listdir(video)
 
 
 def test_launch_serves_http_and_mcp(service, inputs):
@@ -121,5 +140,10 @@ def test_launch_serves_http_and_mcp(service, inputs):
         )
         resp = json.loads(urllib.request.urlopen(req, timeout=600).read())
         assert "data" in resp and len(resp["data"]) == 2, resp
+        # values round-trip as JSON natives, not reprs: the video path must
+        # exist verbatim and the seed must come back as a number
+        video, used_seed = resp["data"]
+        assert os.path.exists(video), video
+        assert used_seed == 7, used_seed
     finally:
         demo.close()
