@@ -93,7 +93,8 @@ class AvatarService:
         if stream_output:
             from stableavatar_tpu.utils.video_io import StreamingVideoWriter
 
-            sink_writer = StreamingVideoWriter(video_path, fps=fps)
+            sink_writer = StreamingVideoWriter(video_path, fps=fps,
+                                               audio_path=audio_path)
 
         t0 = time.time()
         out = generate_long(
@@ -123,7 +124,9 @@ class AvatarService:
             # report the path actually written (PNG-frame fallback when no
             # ffmpeg video backend exists — same truthfulness fix as the CLI)
             video_path = save_videos_grid(out.videos, video_path, fps=fps) or video_path
-        if ffmpeg_available() and video_path.endswith(".mp4"):
+        already_muxed = sink_writer is not None and sink_writer.audio_muxed
+        if (not already_muxed and ffmpeg_available()
+                and video_path.endswith(".mp4")):
             muxed = base + "_audio.mp4"
             try:
                 mux_audio(video_path, audio_path, muxed)

@@ -465,7 +465,11 @@ def main(argv=None):
     if args.stream_output:
         from stableavatar_tpu.utils.video_io import StreamingVideoWriter
 
-        sink_writer = StreamingVideoWriter(out_path, fps=args.fps)
+        # direct-ffmpeg backend muxes the driving audio in the same pass
+        sink_writer = StreamingVideoWriter(
+            out_path, fps=args.fps,
+            audio_path=args.validation_driven_audio_path,
+        )
 
     with mesh_context(mesh):
         if mesh is not None:
@@ -503,7 +507,9 @@ def main(argv=None):
     # save_video_ffmpeg crops + muxes, inference.py:53-89)
     from stableavatar_tpu.utils.media import ffmpeg_available, mux_audio
 
-    if not out_path.endswith(".mp4"):
+    if sink_writer is not None and sink_writer.audio_muxed:
+        pass  # streamed through ffmpeg with the audio in the same pass
+    elif not out_path.endswith(".mp4"):
         # StreamingVideoWriter's PNG-directory fallback (no mp4 backend):
         # nothing to mux audio into
         print("audio mux skipped: output is a frame directory, not an mp4")

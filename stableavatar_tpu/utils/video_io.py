@@ -62,20 +62,56 @@ class StreamingVideoWriter:
     each decoded uint8 segment straight to disk keeps host memory
     O(segment).  Wire via `generate_long(frame_sink=writer.append)`.
 
-    Same backend ladder as `save_videos_grid`: imageio/libx264 when an
-    ffmpeg backend exists, per-frame PNG directory otherwise (the path
-    actually written is returned by `close()`)."""
+    Backend ladder: (1) direct `ffmpeg` raw-RGB pipe when the binary is on
+    PATH — one pass, optionally muxing `audio_path` in the same process
+    (replaces the reference's separate frame-dump + mux,
+    `inference.py:53-89`); (2) imageio/libx264 when only the imageio-ffmpeg
+    backend exists (audio muxed separately by the caller); (3) per-frame PNG
+    directory.  `close()` returns the path actually written;
+    `audio_muxed` tells the caller whether audio is already embedded."""
 
-    def __init__(self, path: str, fps: int = 25):
+    def __init__(self, path: str, fps: int = 25,
+                 audio_path: Optional[str] = None):
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self._path = path
         self._fps = fps
+        self._audio_path = audio_path
         self._writer = None
+        self._proc = None
         self._png_dir: Optional[str] = None
         self.frames_written = 0
+        self.audio_muxed = False
 
-    def _ensure_writer(self):
-        if self._writer is not None or self._png_dir is not None:
+    def _start_ffmpeg(self, h: int, w: int) -> bool:
+        import shutil
+        import subprocess
+
+        if shutil.which("ffmpeg") is None:
+            return False
+        cmd = ["ffmpeg", "-y",
+               "-f", "rawvideo", "-pix_fmt", "rgb24",
+               "-s", f"{w}x{h}", "-r", str(self._fps), "-i", "-"]
+        if self._audio_path and os.path.exists(self._audio_path):
+            # -shortest crops the audio to the video length (the reference's
+            # save_video_ffmpeg crop+mux, inference.py:81-89)
+            cmd += ["-i", self._audio_path, "-c:a", "aac", "-shortest"]
+            self.audio_muxed = True
+        cmd += ["-c:v", "libx264", "-pix_fmt", "yuv420p", self._path]
+        try:
+            self._proc = subprocess.Popen(
+                cmd, stdin=subprocess.PIPE,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            return True
+        except OSError:
+            self.audio_muxed = False
+            return False
+
+    def _ensure_writer(self, h: int, w: int):
+        if (self._writer is not None or self._proc is not None
+                or self._png_dir is not None):
+            return
+        if self._start_ffmpeg(h, w):
             return
         import imageio
 
@@ -91,14 +127,16 @@ class StreamingVideoWriter:
         """segment: [B, 3, T, H, W] uint8 (or float in [0,1])."""
         if segment.dtype != np.uint8:
             segment = (np.clip(segment, 0.0, 1.0) * 255.0).round().astype(np.uint8)
-        self._ensure_writer()
         frames = segment.transpose(2, 3, 0, 4, 1)  # [T, H, B, W, C]
         t, h, b, w, c = frames.shape
         frames = frames.reshape(t, h, b * w, c)
+        self._ensure_writer(h, b * w)
         import imageio
 
         for fr in frames:
-            if self._writer is not None:
+            if self._proc is not None:
+                self._proc.stdin.write(np.ascontiguousarray(fr).tobytes())
+            elif self._writer is not None:
                 self._writer.append_data(fr)
             else:
                 imageio.imwrite(
@@ -107,6 +145,13 @@ class StreamingVideoWriter:
             self.frames_written += 1
 
     def close(self) -> str:
+        if self._proc is not None:
+            self._proc.stdin.close()
+            rc = self._proc.wait()
+            if rc != 0:
+                raise RuntimeError(f"ffmpeg exited with code {rc} "
+                                   f"writing {self._path}")
+            return self._path
         if self._writer is not None:
             self._writer.close()
             return self._path

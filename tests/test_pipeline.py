@@ -628,3 +628,53 @@ def test_frame_sink_streams_identical_frames(tiny_models, tmp_path):
     import os as _os
 
     assert _os.path.exists(path)
+
+
+def test_streaming_writer_direct_ffmpeg_pipe(tmp_path, monkeypatch):
+    """Backend (1): with an `ffmpeg` binary on PATH the writer streams raw
+    RGB frames through a single ffmpeg process and muxes the audio in the
+    same pass (reference save_video_ffmpeg crop+mux, inference.py:53-89).
+    Exercised with a fake ffmpeg that records its argv and counts the piped
+    bytes."""
+    import os
+    import wave
+
+    from stableavatar_tpu.utils.video_io import StreamingVideoWriter
+
+    fake_bin = tmp_path / "bin"
+    fake_bin.mkdir()
+    argv_log = tmp_path / "argv.txt"
+    bytes_log = tmp_path / "nbytes.txt"
+    (fake_bin / "ffmpeg").write_text(
+        "#!/bin/bash\n"
+        f'printf "%s\\n" "$@" > "{argv_log}"\n'
+        'for last; do :; done\n'
+        f'wc -c > "{bytes_log}"\n'  # consume stdin, count bytes
+        'echo fake-mp4 > "$last"\n'
+    )
+    os.chmod(fake_bin / "ffmpeg", 0o755)
+    monkeypatch.setenv("PATH", f"{fake_bin}:{os.environ['PATH']}")
+
+    audio = str(tmp_path / "voice.wav")
+    with wave.open(audio, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(b"\x00\x00" * 1600)
+
+    out = str(tmp_path / "out.mp4")
+    w = StreamingVideoWriter(out, fps=25, audio_path=audio)
+    seg = np.random.default_rng(0).integers(
+        0, 255, (1, 3, 4, 8, 8), dtype=np.uint8
+    )  # [B, C, T, H, W]
+    w.append(seg)
+    w.append(seg)
+    path = w.close()
+
+    assert path == out and os.path.exists(out)
+    assert w.audio_muxed and w.frames_written == 8
+    argv = argv_log.read_text().splitlines()
+    assert "rawvideo" in argv and "8x8" in argv and audio in argv
+    assert "-shortest" in argv and argv[-1] == out
+    # every frame byte reached ffmpeg's stdin: 8 frames * 8*8 px * 3 ch
+    assert int(bytes_log.read_text().split()[0]) == 8 * 8 * 8 * 3
