@@ -24,9 +24,13 @@ class AvatarService:
     """Preloaded-model serving wrapper (reference preloads at module import,
     `app.py:59-107`)."""
 
-    def __init__(self, models, output_dir: str = "outputs"):
+    def __init__(self, models, output_dir: str = "outputs",
+                 default_stream_output: bool = False):
         self.models = models
         self.output_dir = output_dir
+        # server-level default (cli --stream_output): per-request
+        # stream_output=None inherits it
+        self.default_stream_output = default_stream_output
         os.makedirs(output_dir, exist_ok=True)
 
     def generate(
@@ -52,7 +56,7 @@ class AvatarService:
         motion_frame: int = 25,  # accepted-unused (reference parity)
         sample_solver: str = "euler",
         solver_order: int = 2,
-        stream_output: bool = False,
+        stream_output: Optional[bool] = None,
     ):
         """`sample_solver`/`solver_order` expose the matched-quality
         reduced-step operating point (unipc/dpm++ @ ~25 steps ~= euler @ 50,
@@ -90,32 +94,41 @@ class AvatarService:
         base = os.path.join(self.output_dir, f"avatar_{seed}")
         video_path = base + ".mp4"
         sink_writer = None
-        if stream_output:
+        use_stream = (self.default_stream_output if stream_output is None
+                      else stream_output)
+        if use_stream:
             from stableavatar_tpu.utils.video_io import StreamingVideoWriter
 
             sink_writer = StreamingVideoWriter(video_path, fps=fps,
                                                audio_path=audio_path)
 
         t0 = time.time()
-        out = generate_long(
-            self.models,
-            ref_image=ref,
-            vocal_waveform=wav,
-            prompt=prompt,
-            negative_prompt=negative_prompt,
-            num_inference_steps=num_inference_steps,
-            text_guide_scale=guidance_scale,
-            audio_guide_scale=audio_guidance_scale,
-            clip_length=clip_length,
-            overlap_window_length=overlap_window_length,
-            overlapping_weight_scheme=overlapping_weight_scheme,
-            scheduler=sample_solver,
-            solver_order=solver_order,
-            fps=fps,
-            sr=sr,
-            seed=seed,
-            frame_sink=sink_writer.append if sink_writer is not None else None,
-        )
+        try:
+            out = generate_long(
+                self.models,
+                ref_image=ref,
+                vocal_waveform=wav,
+                prompt=prompt,
+                negative_prompt=negative_prompt,
+                num_inference_steps=num_inference_steps,
+                text_guide_scale=guidance_scale,
+                audio_guide_scale=audio_guidance_scale,
+                clip_length=clip_length,
+                overlap_window_length=overlap_window_length,
+                overlapping_weight_scheme=overlapping_weight_scheme,
+                scheduler=sample_solver,
+                solver_order=solver_order,
+                fps=fps,
+                sr=sr,
+                seed=seed,
+                frame_sink=sink_writer.append if sink_writer is not None else None,
+            )
+        except BaseException:
+            # long-lived server: a failed request must not leak the
+            # encoder process / open pipe behind the frame sink
+            if sink_writer is not None:
+                sink_writer.abort()
+            raise
         elapsed = time.time() - t0
 
         if sink_writer is not None:
@@ -265,7 +278,8 @@ def main():
     p.add_argument("--mcp_server", action="store_true")
     args = p.parse_args()
 
-    service = AvatarService(load_models(args), args.output_dir)
+    service = AvatarService(load_models(args), args.output_dir,
+                            default_stream_output=args.stream_output)
     demo = build_ui(service)
     demo.launch(
         server_name=args.server_name,

@@ -258,14 +258,17 @@ class Blocks(_Layout):
 
                     def enc(r):
                         # JSON-native values pass through verbatim (paths,
-                        # seeds, ...); only non-serializable objects repr
+                        # seeds, ...); non-serializable objects, circular
+                        # structures, and NaN/Inf floats (invalid in strict
+                        # JSON) fall back to repr
                         try:
-                            json.dumps(r)
+                            json.dumps(r, allow_nan=False)
                             return r
-                        except TypeError:
+                        except (TypeError, ValueError):
                             return repr(r)
 
-                    body = json.dumps({"data": [enc(r) for r in result]})
+                    body = json.dumps({"data": [enc(r) for r in result]},
+                                      allow_nan=False)
                     self._send(200, body.encode(), "application/json")
                 except Exception as e:  # surfaced to the client, not raised
                     self._send(500, json.dumps({"error": str(e)}).encode(),

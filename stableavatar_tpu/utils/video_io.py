@@ -78,15 +78,19 @@ class StreamingVideoWriter:
         self._audio_path = audio_path
         self._writer = None
         self._proc = None
+        self._stderr_path: Optional[str] = None
         self._png_dir: Optional[str] = None
+        self._dims = None  # (H, W) frozen at the first segment
         self.frames_written = 0
         self.audio_muxed = False
 
     def _start_ffmpeg(self, h: int, w: int) -> bool:
-        import shutil
         import subprocess
+        import tempfile
 
-        if shutil.which("ffmpeg") is None:
+        from stableavatar_tpu.utils.media import ffmpeg_available
+
+        if not ffmpeg_available():
             return False
         cmd = ["ffmpeg", "-y",
                "-f", "rawvideo", "-pix_fmt", "rgb24",
@@ -98,14 +102,27 @@ class StreamingVideoWriter:
             self.audio_muxed = True
         cmd += ["-c:v", "libx264", "-pix_fmt", "yuv420p", self._path]
         try:
+            # stderr to a temp file: PIPE would deadlock unread, DEVNULL
+            # would leave a mid-stream encoder failure undiagnosable
+            fd, self._stderr_path = tempfile.mkstemp(suffix=".ffmpeg.log")
             self._proc = subprocess.Popen(
                 cmd, stdin=subprocess.PIPE,
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                stdout=subprocess.DEVNULL, stderr=fd,
             )
+            os.close(fd)
             return True
         except OSError:
             self.audio_muxed = False
+            self._proc = None
             return False
+
+    def _ffmpeg_error(self) -> str:
+        tail = ""
+        if self._stderr_path and os.path.exists(self._stderr_path):
+            with open(self._stderr_path, errors="replace") as f:
+                tail = " | ".join(f.read().strip().splitlines()[-3:])
+        return (f"ffmpeg failed writing {self._path} (rc="
+                f"{self._proc.poll()}): {tail or 'no stderr'}")
 
     def _ensure_writer(self, h: int, w: int):
         if (self._writer is not None or self._proc is not None
@@ -130,12 +147,24 @@ class StreamingVideoWriter:
         frames = segment.transpose(2, 3, 0, 4, 1)  # [T, H, B, W, C]
         t, h, b, w, c = frames.shape
         frames = frames.reshape(t, h, b * w, c)
+        if self._dims is None:
+            self._dims = (h, b * w)
+        elif self._dims != (h, b * w):
+            # the raw pipe (and the mp4 container) can't change frame size
+            # mid-stream — piping different dims would silently garble output
+            raise ValueError(
+                f"segment dims {(h, b * w)} differ from the first segment's "
+                f"{self._dims}; a StreamingVideoWriter is fixed-geometry"
+            )
         self._ensure_writer(h, b * w)
         import imageio
 
         for fr in frames:
             if self._proc is not None:
-                self._proc.stdin.write(np.ascontiguousarray(fr).tobytes())
+                try:
+                    self._proc.stdin.write(np.ascontiguousarray(fr).tobytes())
+                except (BrokenPipeError, OSError) as e:
+                    raise RuntimeError(self._ffmpeg_error()) from e
             elif self._writer is not None:
                 self._writer.append_data(fr)
             else:
@@ -144,13 +173,44 @@ class StreamingVideoWriter:
                                  f"frame_{self.frames_written:06d}.png"), fr)
             self.frames_written += 1
 
+    def abort(self) -> None:
+        """Best-effort cleanup after a failed generation: kill the encoder /
+        close the backend without finalizing.  Safe to call any time; used
+        by long-lived servers so failed requests don't leak ffmpeg
+        children or open pipes."""
+        if self._proc is not None:
+            try:
+                self._proc.stdin.close()
+            except OSError:
+                pass
+            self._proc.kill()
+            self._proc.wait()
+            self._proc = None
+        if self._writer is not None:
+            try:
+                self._writer.close()
+            except Exception:
+                pass
+            self._writer = None
+        self._cleanup_stderr()
+
+    def _cleanup_stderr(self):
+        if self._stderr_path and os.path.exists(self._stderr_path):
+            try:
+                os.remove(self._stderr_path)
+            except OSError:
+                pass
+
     def close(self) -> str:
         if self._proc is not None:
-            self._proc.stdin.close()
+            try:
+                self._proc.stdin.close()
+            except (BrokenPipeError, OSError):
+                pass  # rc check below carries the diagnosis
             rc = self._proc.wait()
             if rc != 0:
-                raise RuntimeError(f"ffmpeg exited with code {rc} "
-                                   f"writing {self._path}")
+                raise RuntimeError(self._ffmpeg_error())
+            self._cleanup_stderr()
             return self._path
         if self._writer is not None:
             self._writer.close()

@@ -678,3 +678,39 @@ def test_streaming_writer_direct_ffmpeg_pipe(tmp_path, monkeypatch):
     assert "-shortest" in argv and argv[-1] == out
     # every frame byte reached ffmpeg's stdin: 8 frames * 8*8 px * 3 ch
     assert int(bytes_log.read_text().split()[0]) == 8 * 8 * 8 * 3
+
+    # fixed-geometry contract: a later segment with different dims raises
+    # instead of silently piping garbled bytes under the first -s WxH
+    w2 = StreamingVideoWriter(str(tmp_path / "out2.mp4"), fps=25)
+    w2.append(seg)
+    with pytest.raises(ValueError, match="fixed-geometry"):
+        w2.append(np.zeros((1, 3, 2, 16, 16), np.uint8))
+    w2.abort()
+
+
+def test_streaming_writer_ffmpeg_failure_diagnosed(tmp_path, monkeypatch):
+    """A dying encoder (bad build, corrupt audio) surfaces a RuntimeError
+    carrying ffmpeg's stderr tail — not a bare BrokenPipeError with
+    DEVNULL'd diagnostics."""
+    import os
+
+    from stableavatar_tpu.utils.video_io import StreamingVideoWriter
+
+    fake_bin = tmp_path / "bin"
+    fake_bin.mkdir()
+    (fake_bin / "ffmpeg").write_text(
+        "#!/bin/bash\n"
+        'echo "Unknown encoder libx264" >&2\n'
+        "exit 1\n"
+    )
+    os.chmod(fake_bin / "ffmpeg", 0o755)
+    monkeypatch.setenv("PATH", f"{fake_bin}:{os.environ['PATH']}")
+
+    w = StreamingVideoWriter(str(tmp_path / "out.mp4"), fps=25)
+    seg = np.zeros((1, 3, 64, 32, 32), np.uint8)  # big enough to fill the pipe
+    with pytest.raises(RuntimeError, match="Unknown encoder libx264"):
+        # the write may not hit the broken pipe until the buffer fills or
+        # close(); either path must carry the stderr tail
+        for _ in range(64):
+            w.append(seg)
+        w.close()
