@@ -253,9 +253,20 @@ def load_models(args):
         or getattr(args, "offload_model", False)
         or getattr(args, "GPU_memory_mode", "model_full_load") != "model_full_load"
     )
+    if t5_host:
+        # Some accelerator plugins (e.g. the axon TPU tunnel) register ONLY
+        # their own backend — there is no 'cpu' backend to offload onto.
+        # Degrade to on-device bf16 T5 instead of crashing at startup.
+        try:
+            cpu_dev = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            print(
+                "[stableavatar_tpu] no CPU backend available; keeping the text "
+                "encoder on the accelerator (bf16) despite the offload request"
+            )
+            t5_host = False
     t5_device_ctx = (
-        jax.default_device(jax.local_devices(backend="cpu")[0])
-        if t5_host else contextlib.nullcontext()
+        jax.default_device(cpu_dev) if t5_host else contextlib.nullcontext()
     )
     # host CPU runs f32 (CPU bf16 gemms are emulated and ~100x slower);
     # device runs bf16 (umt5-xxl f32 is ~21 GB — over HBM)

@@ -85,3 +85,41 @@ def test_inference_cli_multistep_teacache_qfloat8_tiny(synth_inputs, tmp_path,
     ])
     assert rc == 0
     assert os.listdir(outdir)
+
+
+def test_inference_cli_no_cpu_backend_fallback(synth_inputs, tmp_path,
+                                               monkeypatch):
+    """Accelerator plugins like the axon TPU tunnel register ONLY their own
+    backend — `jax.local_devices(backend="cpu")` raises RuntimeError. A T5
+    host-offload request must degrade to on-device T5, not crash at startup
+    (observed live: onchip_round4.sh step 1, 2026-08-18)."""
+    import jax
+
+    from stableavatar_tpu.cli.inference import main
+
+    real_local_devices = jax.local_devices
+
+    def no_cpu_local_devices(*a, **kw):
+        if kw.get("backend") == "cpu" or (a and a[-1] == "cpu"):
+            raise RuntimeError(
+                "Unknown backend cpu. Available backends are ['axon']")
+        return real_local_devices(*a, **kw)
+
+    monkeypatch.setattr(jax, "local_devices", no_cpu_local_devices)
+
+    ref, wav = synth_inputs
+    outdir = str(tmp_path / "out3")
+    monkeypatch.setenv("STABLEAVATAR_TINY", "1")
+
+    rc = main([
+        "--validation_reference_path", ref,
+        "--validation_driven_audio_path", wav,
+        "--width", "32", "--height", "32",
+        "--sample_steps", "2",
+        "--clip_sample_n_frames", "9",
+        "--overlap_window_length", "1",
+        "--GPU_memory_mode", "model_cpu_offload",  # requests host T5
+        "--output_dir", outdir,
+    ])
+    assert rc == 0
+    assert os.listdir(outdir)
