@@ -169,6 +169,53 @@ def resolve_fast_path(args):
     return prepare, quant, prepare, attn_quant
 
 
+def build_tokenizer(args, root, t5_cfg):
+    """The umT5 tokenizer when present on disk, else a deterministic
+    byte-level fallback so the CLI still runs e2e in smoke mode."""
+    tok_dir = root and os.path.join(root, "google/umt5-xxl")
+    if tok_dir and os.path.isdir(tok_dir):
+        from transformers import AutoTokenizer
+
+        hf_tok = AutoTokenizer.from_pretrained(tok_dir)
+        # training tokenizes at --tokenizer_max_length (226 default,
+        # train_1B_square.py:636-640); inference at the model text_len (512)
+        tok_len = int(getattr(args, "tokenizer_max_length", 0) or t5_cfg.text_len)
+
+        def tokenizer(text):
+            out = hf_tok(
+                text, padding="max_length", max_length=tok_len,
+                truncation=True, add_special_tokens=True, return_tensors="np",
+            )
+            ids = out["input_ids"][0]
+            mask = out["attention_mask"][0]
+            if tok_len < t5_cfg.text_len:  # re-pad to the model context
+                import numpy as _np
+
+                pad = t5_cfg.text_len - tok_len
+                ids = _np.pad(ids, (0, pad))
+                mask = _np.pad(mask, (0, pad))
+            return ids, mask
+    else:
+        # no umT5 tokenizer on disk (random-weight smoke runs): fall back to
+        # a deterministic byte-level tokenizer so the CLI still runs e2e
+        print("[stableavatar-tpu] no umt5 tokenizer found - using byte-level "
+              "fallback (smoke mode; outputs are not meaningful without "
+              "checkpoints)")
+
+        def tokenizer(text):
+            import numpy as _np
+
+            ids = _np.zeros(t5_cfg.text_len, dtype=_np.int32)
+            toks = [b % (t5_cfg.vocab - 2) + 2 for b in text.encode()][: t5_cfg.text_len - 1]
+            ids[: len(toks)] = toks
+            ids[len(toks)] = 1  # eos
+            mask = _np.zeros(t5_cfg.text_len, dtype=_np.int32)
+            mask[: len(toks) + 1] = 1
+            return ids, mask
+
+    return tokenizer
+
+
 def load_models(args):
     """Assemble the WanModels bundle from checkpoints (or random init when no
     checkpoint paths are given — useful for smoke runs)."""
@@ -215,6 +262,75 @@ def load_models(args):
     def maybe(path):
         return root and os.path.exists(os.path.join(root, path))
 
+    from stableavatar_tpu.config import T5Config, CLIPConfig, Wav2Vec2Config
+
+    t5_cfg = tiny_cfgs[2] if tiny_cfgs is not None else T5Config()
+    # umT5-xxl is ~11.4 GB bf16 and is used exactly once per request; on a
+    # 16 GB v5e it cannot coexist with the DiT + decode working set, so any
+    # mode but model_full_load keeps it in HOST RAM and encodes on the CPU
+    # backend (the reference's --t5_cpu, which it only parses;
+    # inference.py:316-324) — encode_prompt_ids routes by param device.
+    t5_host = (
+        getattr(args, "t5_cpu", False)
+        or getattr(args, "offload_model", False)
+        or getattr(args, "GPU_memory_mode", "model_full_load") != "model_full_load"
+    )
+    t5_encode_and_free = False
+    if t5_host:
+        # Some accelerator plugins (e.g. the axon TPU tunnel) register ONLY
+        # their own backend — there is no 'cpu' backend to offload onto.
+        # Inference knows its prompts up front, so instead load T5 on the
+        # accelerator FIRST (before anything else claims HBM), encode the
+        # prompts eagerly, and free the 11.4 GB before the DiT loads.
+        try:
+            cpu_dev = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            t5_host = False
+            t5_encode_and_free = (
+                getattr(args, "validation_prompts", None) is not None
+            )
+            print(
+                "[stableavatar-tpu] no CPU backend to offload the text encoder "
+                "onto; "
+                + ("encoding prompts eagerly then freeing T5 from device HBM"
+                   if t5_encode_and_free else
+                   "keeping T5 on the accelerator (bf16)")
+            )
+    t5_device_ctx = (
+        jax.default_device(cpu_dev) if t5_host else contextlib.nullcontext()
+    )
+    # host CPU runs f32 (CPU bf16 gemms are emulated and ~100x slower);
+    # device runs bf16 (umt5-xxl f32 is ~21 GB — over HBM)
+    t5_dtype = jnp.float32 if t5_host else jnp.bfloat16
+    with t5_device_ctx:
+        if maybe("models_t5_umt5-xxl-enc-bf16.pth"):
+            sd = ckpt.load_torch_state_dict(os.path.join(root, "models_t5_umt5-xxl-enc-bf16.pth"))
+            t5_params = cast_params(ckpt.convert_t5(sd, t5_cfg), t5_dtype)
+        else:
+            # init+cast fused in ONE jit: a separate f32 init would
+            # materialize the full 21 GB tree before a bf16 cast
+            t5_params = jax.jit(
+                lambda k: cast_params(init_t5(k, t5_cfg), t5_dtype)
+            )(ks[2])
+        jax.block_until_ready(jax.tree.leaves(t5_params)[0])
+
+    tokenizer = build_tokenizer(args, root, t5_cfg)
+
+    text_ctx = None
+    if t5_encode_and_free and tokenizer is not None:
+        from stableavatar_tpu.models.t5 import t5_encode
+        from stableavatar_tpu.pipelines.common import stack_cfg_ids
+
+        ids, mask = stack_cfg_ids(
+            tokenizer, args.validation_prompts,
+            getattr(args, "negative_prompts", "") or "",
+        )
+        emb = t5_encode(t5_params, t5_cfg, ids, mask)
+        text_ctx = emb * mask[..., None].astype(emb.dtype)
+        text_ctx.block_until_ready()
+        t5_params = None  # frees ~11.4 GB of HBM before the DiT loads
+        print("[stableavatar-tpu] prompts encoded; T5 released from device")
+
     if maybe("diffusion_pytorch_model.safetensors"):
         sd = ckpt.load_torch_state_dict(os.path.join(root, "diffusion_pytorch_model.safetensors"))
         dit_params = ckpt.convert_dit(sd, cfg)
@@ -239,49 +355,6 @@ def load_models(args):
         vae_params = jax.jit(
             lambda k: cast_params(init_vae(k, vae_cfg), jnp.bfloat16)
         )(ks[1])
-
-    from stableavatar_tpu.config import T5Config, CLIPConfig, Wav2Vec2Config
-
-    t5_cfg = tiny_cfgs[2] if tiny_cfgs is not None else T5Config()
-    # umT5-xxl is ~11.4 GB bf16 and is used exactly once per request; on a
-    # 16 GB v5e it cannot coexist with the DiT + decode working set, so any
-    # mode but model_full_load keeps it in HOST RAM and encodes on the CPU
-    # backend (the reference's --t5_cpu, which it only parses;
-    # inference.py:316-324) — encode_prompt_ids routes by param device.
-    t5_host = (
-        getattr(args, "t5_cpu", False)
-        or getattr(args, "offload_model", False)
-        or getattr(args, "GPU_memory_mode", "model_full_load") != "model_full_load"
-    )
-    if t5_host:
-        # Some accelerator plugins (e.g. the axon TPU tunnel) register ONLY
-        # their own backend — there is no 'cpu' backend to offload onto.
-        # Degrade to on-device bf16 T5 instead of crashing at startup.
-        try:
-            cpu_dev = jax.local_devices(backend="cpu")[0]
-        except RuntimeError:
-            print(
-                "[stableavatar_tpu] no CPU backend available; keeping the text "
-                "encoder on the accelerator (bf16) despite the offload request"
-            )
-            t5_host = False
-    t5_device_ctx = (
-        jax.default_device(cpu_dev) if t5_host else contextlib.nullcontext()
-    )
-    # host CPU runs f32 (CPU bf16 gemms are emulated and ~100x slower);
-    # device runs bf16 (umt5-xxl f32 is ~21 GB — over HBM)
-    t5_dtype = jnp.float32 if t5_host else jnp.bfloat16
-    with t5_device_ctx:
-        if maybe("models_t5_umt5-xxl-enc-bf16.pth"):
-            sd = ckpt.load_torch_state_dict(os.path.join(root, "models_t5_umt5-xxl-enc-bf16.pth"))
-            t5_params = cast_params(ckpt.convert_t5(sd, t5_cfg), t5_dtype)
-        else:
-            # init+cast fused in ONE jit: a separate f32 init would
-            # materialize the full 21 GB tree before a bf16 cast
-            t5_params = jax.jit(
-                lambda k: cast_params(init_t5(k, t5_cfg), t5_dtype)
-            )(ks[2])
-        jax.block_until_ready(jax.tree.leaves(t5_params)[0])
 
     clip_cfg = tiny_cfgs[3] if tiny_cfgs is not None else CLIPConfig()
     if maybe("models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth"):
@@ -322,48 +395,6 @@ def load_models(args):
     else:
         w2v_params = jax.jit(lambda k: init_wav2vec2(k, w2v_cfg))(ks[4])
 
-    tokenizer = None
-    tok_dir = root and os.path.join(root, "google/umt5-xxl")
-    if tok_dir and os.path.isdir(tok_dir):
-        from transformers import AutoTokenizer
-
-        hf_tok = AutoTokenizer.from_pretrained(tok_dir)
-        # training tokenizes at --tokenizer_max_length (226 default,
-        # train_1B_square.py:636-640); inference at the model text_len (512)
-        tok_len = int(getattr(args, "tokenizer_max_length", 0) or t5_cfg.text_len)
-
-        def tokenizer(text):
-            out = hf_tok(
-                text, padding="max_length", max_length=tok_len,
-                truncation=True, add_special_tokens=True, return_tensors="np",
-            )
-            ids = out["input_ids"][0]
-            mask = out["attention_mask"][0]
-            if tok_len < t5_cfg.text_len:  # re-pad to the model context
-                import numpy as _np
-
-                pad = t5_cfg.text_len - tok_len
-                ids = _np.pad(ids, (0, pad))
-                mask = _np.pad(mask, (0, pad))
-            return ids, mask
-    else:
-        # no umT5 tokenizer on disk (random-weight smoke runs): fall back to
-        # a deterministic byte-level tokenizer so the CLI still runs e2e
-        print("[stableavatar-tpu] no umt5 tokenizer found - using byte-level "
-              "fallback (smoke mode; outputs are not meaningful without "
-              "checkpoints)")
-
-        def tokenizer(text):
-            import numpy as _np
-
-            ids = _np.zeros(t5_cfg.text_len, dtype=_np.int32)
-            toks = [b % (t5_cfg.vocab - 2) + 2 for b in text.encode()][: t5_cfg.text_len - 1]
-            ids[: len(toks)] = toks
-            ids[len(toks)] = 1  # eos
-            mask = _np.zeros(t5_cfg.text_len, dtype=_np.int32)
-            mask[: len(toks) + 1] = 1
-            return ids, mask
-
     teacache = None
     # getattr: load_models is shared with cli/train.py, whose parser has no
     # inference-only teacache flags
@@ -403,6 +434,7 @@ def load_models(args):
         attn_quant=attn_quant,
         attn_impl=attn_impl,
         honor_vocal_k_lens=not getattr(args, "reference_attn_numerics", False),
+        text_ctx=text_ctx,
     )
 
 
@@ -462,8 +494,8 @@ def main(argv=None):
     # 16 GB v5e cannot hold it alongside the DiT + activations
     from stableavatar_tpu.pipelines.common import encode_prompts
 
-    text_ctx = None
-    if models.tokenizer is not None:
+    text_ctx = models.text_ctx  # pre-encoded by the loader (T5 freed)
+    if text_ctx is None and models.tokenizer is not None:
         text_ctx = encode_prompts(
             models, args.validation_prompts, args.negative_prompts
         )

@@ -54,6 +54,11 @@ class WanModels:
     # torch SDPA drops the vocal padding masks; True (default) honors them
     # (flash-attn semantics, a quality improvement)
     honor_vocal_k_lens: bool = True
+    # Pre-encoded CFG text context [3, text_len, text_dim].  Set when the
+    # loader had to encode eagerly and free the T5 params (no CPU backend to
+    # offload onto — the axon tunnel registers only 'axon'); t5_params is
+    # then None and callers must use this instead of encode_prompts.
+    text_ctx: Any = None
 
 
 def encode_prompt_ids(models: WanModels, ids: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -85,14 +90,21 @@ def encode_prompt_ids(models: WanModels, ids: jnp.ndarray, mask: jnp.ndarray) ->
     return emb * mask[..., None].astype(emb.dtype)
 
 
+def stack_cfg_ids(tokenizer, prompt: str, negative_prompt: str = ""):
+    """Tokenize into the long-pipeline CFG stack [neg, neg, pos]
+    (`wan_inference_long_pipeline.py:636`); returns (ids, mask) [3, L]."""
+    ids_p, mask_p = tokenizer(prompt)
+    ids_n, mask_n = tokenizer(negative_prompt)
+    ids = jnp.asarray(np.stack([ids_n, ids_n, ids_p]))
+    mask = jnp.asarray(np.stack([mask_n, mask_n, mask_p]))
+    return ids, mask
+
+
 def encode_prompts(models: WanModels, prompt: str, negative_prompt: str = ""):
     """Returns the CFG text context [3, text_len, text_dim]: [neg, neg, pos]
     for the long pipeline (`wan_inference_long_pipeline.py:636`)."""
     assert models.tokenizer is not None, "pass pre-encoded text when no tokenizer"
-    ids_p, mask_p = models.tokenizer(prompt)
-    ids_n, mask_n = models.tokenizer(negative_prompt)
-    ids = jnp.asarray(np.stack([ids_n, ids_n, ids_p]))
-    mask = jnp.asarray(np.stack([mask_n, mask_n, mask_p]))
+    ids, mask = stack_cfg_ids(models.tokenizer, prompt, negative_prompt)
     return encode_prompt_ids(models, ids, mask)
 
 

@@ -87,15 +87,8 @@ def test_inference_cli_multistep_teacache_qfloat8_tiny(synth_inputs, tmp_path,
     assert os.listdir(outdir)
 
 
-def test_inference_cli_no_cpu_backend_fallback(synth_inputs, tmp_path,
-                                               monkeypatch):
-    """Accelerator plugins like the axon TPU tunnel register ONLY their own
-    backend — `jax.local_devices(backend="cpu")` raises RuntimeError. A T5
-    host-offload request must degrade to on-device T5, not crash at startup
-    (observed live: onchip_round4.sh step 1, 2026-08-18)."""
+def _mock_no_cpu_backend(monkeypatch):
     import jax
-
-    from stableavatar_tpu.cli.inference import main
 
     real_local_devices = jax.local_devices
 
@@ -106,6 +99,17 @@ def test_inference_cli_no_cpu_backend_fallback(synth_inputs, tmp_path,
         return real_local_devices(*a, **kw)
 
     monkeypatch.setattr(jax, "local_devices", no_cpu_local_devices)
+
+
+def test_inference_cli_no_cpu_backend_fallback(synth_inputs, tmp_path,
+                                               monkeypatch):
+    """Accelerator plugins like the axon TPU tunnel register ONLY their own
+    backend — `jax.local_devices(backend="cpu")` raises RuntimeError. A T5
+    host-offload request must degrade to eager-encode-then-free, not crash
+    at startup (observed live: onchip_round4.sh step 1, 2026-08-18)."""
+    from stableavatar_tpu.cli.inference import main
+
+    _mock_no_cpu_backend(monkeypatch)
 
     ref, wav = synth_inputs
     outdir = str(tmp_path / "out3")
@@ -123,3 +127,25 @@ def test_inference_cli_no_cpu_backend_fallback(synth_inputs, tmp_path,
     ])
     assert rc == 0
     assert os.listdir(outdir)
+
+
+def test_load_models_no_cpu_backend_frees_t5(monkeypatch):
+    """Under the no-cpu-backend fallback the loader must pre-encode the
+    prompts and release the T5 params (umT5-xxl bf16 is ~11.4 GB — it cannot
+    coexist with the DiT on a 16 GB v5e)."""
+    from stableavatar_tpu.cli.inference import build_parser, load_models
+
+    _mock_no_cpu_backend(monkeypatch)
+    monkeypatch.setenv("STABLEAVATAR_TINY", "1")
+
+    args = build_parser().parse_args([
+        "--validation_reference_path", "x.png",
+        "--validation_driven_audio_path", "x.wav",
+        "--validation_prompts", "hello",
+        "--GPU_memory_mode", "model_cpu_offload",
+    ])
+    models = load_models(args)
+    assert models.t5_params is None
+    assert models.text_ctx is not None
+    assert models.text_ctx.shape[0] == 3  # [neg, neg, pos] CFG stack
+    assert models.text_ctx.shape[1] == models.t5_cfg.text_len
