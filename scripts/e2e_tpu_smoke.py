@@ -6,8 +6,11 @@ phase.  Quality is meaningless (random weights); correctness = finite output
 of the right shape.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -1,7 +1,11 @@
 """Microbenchmarks on the real chip: matmul MFU ceiling, Pallas flash
 attention block sweep at the DiT self/cross shapes."""
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

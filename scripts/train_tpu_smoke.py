@@ -6,8 +6,11 @@ flash fwd+bwd, anomaly-aware clipping, 8-bit Adam) at 49 frames x 256x256
 fits 16 GB HBM with optimizer state; full 81x512 runs under fsdp sharding.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
