@@ -8,7 +8,7 @@ BENCH_r03 died rc=1 (tunnel outage mid-run); BENCH_r04 died rc=124 (the
 bench measured ~6 full 50-step pipeline passes and outlived the driver's
 timeout).  This version makes a captured line a *guarantee*, not a hope:
 
-- **Hard wall-clock budget** (`BENCH_BUDGET_S`, default 480 s).  A watchdog
+- **Hard wall-clock budget** (`BENCH_BUDGET_S`, default 540 s).  A watchdog
   thread emits the JSON line with whatever phases completed and `os._exit(0)`s
   the process ~25 s before the budget expires.  A hung backend init (dead
   axon tunnel — the round-3 failure) gets its own shorter deadline (150 s)
@@ -525,7 +525,9 @@ def run_bench(state: BenchState):
 
 
 def main():
-    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    # r2 (rc=0) ran ~15-20 min; r4 (rc=124) ~25-35 min => the driver window
+    # sits in between.  9 min default leaves 2x margin (VERDICT r4 item 1).
+    budget = float(os.environ.get("BENCH_BUDGET_S", "540"))
     state = BenchState(budget)
     start_watchdog(state)
     try:

@@ -408,6 +408,17 @@ def load_models(args):
         )
 
     prep, quant, rope_split, attn_quant = resolve_fast_path(args)
+    sequential = (
+        getattr(args, "GPU_memory_mode", "") == "sequential_cpu_offload"
+    )
+    if sequential and prep:
+        # the reference's --GPU_memory_mode values are mutually exclusive
+        # modes (inference.py:513-524): sequential offload does not compose
+        # with the fp8/int8 prep (which materializes the full prepared tree
+        # in device memory — the thing sequential mode exists to avoid)
+        print("[stableavatar-tpu] sequential_cpu_offload: skipping fast-path "
+              "param prep (bf16 host-streamed blocks)")
+        prep, quant, rope_split, attn_quant = False, False, False, "none"
     if prep:
         from stableavatar_tpu.utils.fastpath import prepare_fast_params
 
@@ -416,6 +427,27 @@ def load_models(args):
     # reference semantics: ring_degree>1 selects ring attention inside the
     # sp group (inference.py:445-449 composes world = ring x ulysses)
     attn_impl = "ring" if getattr(args, "ring_degree", 1) > 1 else "ulysses"
+
+    streamed_dit = None
+    if sequential:
+        # block weights live in HOST RAM and stream through a
+        # double-buffered HBM slot (models/streaming.py) — runs 14B (~28 GB
+        # bf16) on a 16 GB chip; the reference mode it mirrors exists for
+        # exactly this (`inference.py:513-524`)
+        from stableavatar_tpu.models.streaming import StreamedDiT
+
+        streamed_dit = StreamedDiT(
+            dit_params, cfg,
+            rope_split=rope_split, attn_quant=attn_quant,
+            attn_impl=attn_impl,
+            honor_vocal_k_lens=not getattr(args, "reference_attn_numerics", False),
+        )
+        # free the device-resident stacked blocks; the pipeline only touches
+        # streamed_dit in this mode
+        dit_params = None
+        print(f"[stableavatar-tpu] sequential_cpu_offload: "
+              f"{streamed_dit.num_layers} DiT blocks host-resident, "
+              f"streaming double-buffered")
 
     return WanModels(
         dit_params=dit_params,
@@ -435,6 +467,7 @@ def load_models(args):
         attn_impl=attn_impl,
         honor_vocal_k_lens=not getattr(args, "reference_attn_numerics", False),
         text_ctx=text_ctx,
+        streamed_dit=streamed_dit,
     )
 
 
@@ -515,7 +548,9 @@ def main(argv=None):
         )
 
     with mesh_context(mesh):
-        if mesh is not None:
+        if mesh is not None and models.dit_params is not None:
+            # sequential_cpu_offload keeps blocks host-resident (dit_params
+            # is None then); its single-chip streaming path is not sharded
             models.dit_params = shard_params(models.dit_params, mesh)
         out = generate_long(
             models,

@@ -388,48 +388,29 @@ def encode_context(params, cfg: DiTConfig, text_embeds, clip_fea, dtype):
     return context_text, context_img
 
 
-def dit_forward(
+def dit_prologue(
     params,
     cfg: DiTConfig,
-    x: jnp.ndarray,  # [B, 16, F, H, W] noisy latents
-    t: jnp.ndarray,  # [B] timesteps
-    text_embeds: jnp.ndarray,  # [B, text_len, text_dim]
-    clip_fea: jnp.ndarray,  # [B, 257, clip_dim]
-    y: jnp.ndarray,  # [B, 20, F, H, W] cond (mask + masked-video latents)
-    vocal_embeddings: jnp.ndarray,  # [Bv, L_audio, audio_in_dim]
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    text_embeds: jnp.ndarray,
+    clip_fea: jnp.ndarray,
+    y: jnp.ndarray,
+    vocal_embeddings: jnp.ndarray,
     video_sample_n_frames: int = 81,
     vocal_cfg_tile: bool = False,
     is_clip_level_modeling: bool = False,
     freqs: Optional[RopeFreqs] = None,
-    remat: bool = False,
-    return_residual: bool = False,
     rope_split: bool = False,
-    attn_quant: str = "none",
-    attn_impl: str = "ulysses",
     honor_vocal_k_lens: bool = True,
-) -> jnp.ndarray:
-    """One denoise evaluation.  Returns velocity prediction [B, 16, F, H, W].
+):
+    """Everything before the block stack: patch embed, time/text/img
+    embeddings, vocal projector.  Shared by the in-memory forward (below)
+    and the host-streamed forward (`models/streaming.py`), so the two paths
+    are numerically identical by construction.
 
-    Mirrors reference `forward` (`wan_fantasy_transformer3d_1B.py:928-1159`).
-    `vocal_cfg_tile=True` reproduces the CFG triple path (`:1004-1007`): the
-    projector runs on the last batch row only and the result is tiled as
-    [zeros, v, v].
-
-    `rope_split=True` requires params prepared by
-    `utils/fastpath.py:prepare_fast_params` (split-pair q/k layout); rope is
-    then fused into the flash kernel.  `attn_quant` in {"none","qk","qkpv"}
-    selects the int8 MXU attention fast path (inference only).
-
-    `honor_vocal_k_lens=False` replicates the reference's torch-SDPA
-    deployment bit-for-bit: its `attention()` wrapper DROPS the vocal
-    padding masks on the SDPA fallback (`wan_fantasy_transformer3d_1B.py:
-    190-193` — the path actually taken by the 1B model, which
-    force-disables flash-attn at `:45-46`), so padded window positions
-    attend to the k_vocal/v_vocal bias vectors.  Default True = the
-    mathematically-intended masking (== the reference WITH flash-attn, the
-    14B path).  Use False for frame-level parity against a reference run
-    without flash-attn (scripts/parity_vs_torch.py).
-    """
+    Returns (tokens, e, e0, context_text, context_img, vocal_context,
+    vocal_k_lens, freqs, rope_packed, grid, latents_num_frames)."""
     b, _, f, h, w = x.shape
     pt, ph, pw = cfg.patch_size
     grid = (f // pt, h // ph, w // pw)
@@ -440,7 +421,6 @@ def dit_forward(
     # activation sequence sharding (replaces the reference's token chunk +
     # all-gather, wan_fantasy_transformer3d_1B.py:1017-1019,1150-1151)
     tokens = maybe_constrain(tokens, "dp", "sp", None)
-    L = tokens.shape[1]
 
     if freqs is None:
         freqs = rope_freqs_3d(
@@ -483,6 +463,62 @@ def dit_forward(
         bvc = vocal_context.shape[0]
         vocal_context = vocal_context.reshape(bvc, 1, -1, vocal_context.shape[-1])
         vocal_k_lens = None
+
+    return (tokens, e, e0, context_text, context_img, vocal_context,
+            vocal_k_lens, freqs, rope_packed, grid, latents_num_frames)
+
+
+def dit_forward(
+    params,
+    cfg: DiTConfig,
+    x: jnp.ndarray,  # [B, 16, F, H, W] noisy latents
+    t: jnp.ndarray,  # [B] timesteps
+    text_embeds: jnp.ndarray,  # [B, text_len, text_dim]
+    clip_fea: jnp.ndarray,  # [B, 257, clip_dim]
+    y: jnp.ndarray,  # [B, 20, F, H, W] cond (mask + masked-video latents)
+    vocal_embeddings: jnp.ndarray,  # [Bv, L_audio, audio_in_dim]
+    video_sample_n_frames: int = 81,
+    vocal_cfg_tile: bool = False,
+    is_clip_level_modeling: bool = False,
+    freqs: Optional[RopeFreqs] = None,
+    remat: bool = False,
+    return_residual: bool = False,
+    rope_split: bool = False,
+    attn_quant: str = "none",
+    attn_impl: str = "ulysses",
+    honor_vocal_k_lens: bool = True,
+) -> jnp.ndarray:
+    """One denoise evaluation.  Returns velocity prediction [B, 16, F, H, W].
+
+    Mirrors reference `forward` (`wan_fantasy_transformer3d_1B.py:928-1159`).
+    `vocal_cfg_tile=True` reproduces the CFG triple path (`:1004-1007`): the
+    projector runs on the last batch row only and the result is tiled as
+    [zeros, v, v].
+
+    `rope_split=True` requires params prepared by
+    `utils/fastpath.py:prepare_fast_params` (split-pair q/k layout); rope is
+    then fused into the flash kernel.  `attn_quant` in {"none","qk","qkpv"}
+    selects the int8 MXU attention fast path (inference only).
+
+    `honor_vocal_k_lens=False` replicates the reference's torch-SDPA
+    deployment bit-for-bit: its `attention()` wrapper DROPS the vocal
+    padding masks on the SDPA fallback (`wan_fantasy_transformer3d_1B.py:
+    190-193` — the path actually taken by the 1B model, which
+    force-disables flash-attn at `:45-46`), so padded window positions
+    attend to the k_vocal/v_vocal bias vectors.  Default True = the
+    mathematically-intended masking (== the reference WITH flash-attn, the
+    14B path).  Use False for frame-level parity against a reference run
+    without flash-attn (scripts/parity_vs_torch.py).
+    """
+    (tokens, e, e0, context_text, context_img, vocal_context, vocal_k_lens,
+     freqs, rope_packed, grid, latents_num_frames) = dit_prologue(
+        params, cfg, x, t, text_embeds, clip_fea, y, vocal_embeddings,
+        video_sample_n_frames=video_sample_n_frames,
+        vocal_cfg_tile=vocal_cfg_tile,
+        is_clip_level_modeling=is_clip_level_modeling,
+        freqs=freqs, rope_split=rope_split,
+        honor_vocal_k_lens=honor_vocal_k_lens,
+    )
 
     def body(tok, bp):
         out = apply_block(

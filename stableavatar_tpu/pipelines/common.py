@@ -59,6 +59,13 @@ class WanModels:
     # offload onto — the axon tunnel registers only 'axon'); t5_params is
     # then None and callers must use this instead of encode_prompts.
     text_ctx: Any = None
+    # Sequential (host-streamed) offload: a models.streaming.StreamedDiT
+    # whose block weights live in host RAM and stream through a
+    # double-buffered HBM slot — the TPU analog of the reference's
+    # `sequential_cpu_offload` (`inference.py:513-524`), for models bigger
+    # than HBM (14B on a 16 GB v5e).  When set, generate_long uses a
+    # host-driven per-window loop instead of the jitted sweep.
+    streamed_dit: Any = None
 
 
 def encode_prompt_ids(models: WanModels, ids: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -65,6 +65,13 @@ def plan_windows(infer_length: int, frames_per_batch: int, overlap: int) -> List
     """
     if frames_per_batch >= infer_length:
         return [(0, infer_length)]
+    if overlap >= frames_per_batch:
+        # the reference would also never terminate here (index_start advances
+        # by frames_per_batch - overlap <= 0, `:784`); fail loudly instead
+        raise ValueError(
+            f"overlap_window_length ({overlap}) must be smaller than the "
+            f"latent window ({frames_per_batch} frames)"
+        )
     windows = []
     index_start = 0
     while True:
@@ -368,6 +375,43 @@ def _sweep_step_ms(
     return pred, {k: jnp.stack(vs) for k, vs in new_state.items()}, residual
 
 
+@partial(jax.jit, static_argnames=("f",))
+def _slice_cfg3(latents_all, s, f):
+    """[1,16,T,h,w] -> CFG-tripled window [3,16,f,h,w] (bf16)."""
+    lat = jax.lax.dynamic_slice_in_dim(latents_all, s, f, axis=2)
+    return jnp.concatenate([lat] * 3, axis=0).astype(jnp.bfloat16)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("f", "overlap", "blend", "text_scale", "audio_scale"),
+    donate_argnums=(0,),
+)
+def _streamed_window_update(
+    pred, latents_all, noise_pred, s, prev_end, sigma, sigma_next, ramp,
+    f, overlap, blend, text_scale, audio_scale,
+):
+    """Per-window CFG combine + euler update + overlap blend + write, for
+    the host-streamed (sequential-offload) path — same math as the matching
+    slice of `_sweep_step`, jitted separately because the DiT call between
+    slice and update is a host-driven loop (models/streaming.py)."""
+    v = guidance_combine_long(noise_pred, text_scale, audio_scale)
+    lat_win = jax.lax.dynamic_slice_in_dim(latents_all, s, f, axis=2)
+    new_lat = (
+        lat_win.astype(jnp.float32) + (sigma_next - sigma) * v
+    ).astype(jnp.bfloat16)
+    if blend:
+        prev_tail = jax.lax.dynamic_slice_in_dim(
+            pred, prev_end - overlap, overlap, axis=2
+        )
+        head = new_lat[:, :, :overlap]
+        blended = head * ramp.astype(head.dtype) + prev_tail * (
+            1 - ramp
+        ).astype(head.dtype)
+        new_lat = jnp.concatenate([blended, new_lat[:, :, overlap:]], axis=2)
+    return jax.lax.dynamic_update_slice_in_dim(pred, new_lat, s, axis=2)
+
+
 def precompute_teacache_plan(teacache, e0_steps, n_windows: int):
     """Simulate the controller over the (step x window) call sequence and
     return per-step tuples of compute flags.  Exactly the decisions the
@@ -494,6 +538,18 @@ def generate_long(
     windows_t = tuple(windows)
     ramp_arg = ramp if ramp is not None else jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
 
+    if models.streamed_dit is not None and (
+        scheduler not in ("euler", "flow") or teacache is not None
+    ):
+        # the streamed (sequential-offload) forward is a host-driven loop;
+        # multistep histories and TeaCache plans are built around the jitted
+        # sweeps.  The reference's sequential_cpu_offload similarly ships
+        # with its hardwired euler scheduler (inference.py:491-496,513-524).
+        raise ValueError(
+            "sequential_cpu_offload (streamed DiT) currently supports the "
+            "euler scheduler without TeaCache"
+        )
+
     ms_state = None
     co_steps = None
     if scheduler not in ("euler", "flow"):
@@ -572,12 +628,42 @@ def generate_long(
         honor_vocal_k_lens=models.honor_vocal_k_lens,
     )
 
+    # hoisted invariants for the streamed (sequential-offload) path: all
+    # windows are full-size (plan_windows), so the y slice and the per-window
+    # unpadded vocal features are loop-invariant
+    if models.streamed_dit is not None:
+        fpb0 = windows[0][1] - windows[0][0]
+        y_win = y_full[:, :, :fpb0]
+        clip_len_w = (fpb0 - 1) * int(models.vae_cfg.temporal_compression_ratio) + 1
+        vocal_list = [jnp.asarray(v) for v in vocal_embs]
+
     for i in range(sched.num_steps):
       with phase("denoise_step"):
         t = sched.timesteps[i]
         sigma, sigma_next = sched.sigmas[i], sched.sigmas[i + 1]
         blend = bool(i != 0 and ramp is not None)
-        if ms_state is not None:
+        if models.streamed_dit is not None:
+            pred = jnp.zeros_like(latents_all)
+            tb = jnp.full((3,), t, dtype=jnp.float32)
+            prev_end = 0
+            for wi, (s, e) in enumerate(windows):
+                lat3 = _slice_cfg3(latents_all, jnp.asarray(s, jnp.int32), f=fpb0)
+                noise_pred = models.streamed_dit(
+                    lat3, tb, text_ctx, clip_ctx, y_win, vocal_list[wi],
+                    video_sample_n_frames=clip_len_w, vocal_cfg_tile=True,
+                )
+                pred = _streamed_window_update(
+                    pred, latents_all, noise_pred,
+                    jnp.asarray(s, jnp.int32), jnp.asarray(prev_end, jnp.int32),
+                    sigma, sigma_next, ramp_arg,
+                    f=fpb0, overlap=int(overlap_window_length),
+                    blend=bool(s != 0 and blend),
+                    text_scale=float(text_guide_scale),
+                    audio_scale=float(audio_guide_scale),
+                )
+                prev_end = e
+            latents_all = pred
+        elif ms_state is not None:
             res_in = (
                 residual_carry if residual_carry is not None
                 else jnp.zeros((1,), jnp.bfloat16)  # unused placeholder

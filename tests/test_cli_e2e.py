@@ -149,3 +149,28 @@ def test_load_models_no_cpu_backend_frees_t5(monkeypatch):
     assert models.text_ctx is not None
     assert models.text_ctx.shape[0] == 3  # [neg, neg, pos] CFG stack
     assert models.text_ctx.shape[1] == models.t5_cfg.text_len
+
+
+def test_inference_cli_sequential_offload_tiny(synth_inputs, tmp_path,
+                                               monkeypatch):
+    """--GPU_memory_mode sequential_cpu_offload drives the host-streamed DiT
+    (models/streaming.py) end to end — the 14B-on-16GB mode, at tiny scale."""
+    from stableavatar_tpu.cli.inference import main
+
+    ref, wav = synth_inputs
+    outdir = str(tmp_path / "out_seq")
+    monkeypatch.setenv("STABLEAVATAR_TINY", "1")
+
+    rc = main([
+        "--validation_reference_path", ref,
+        "--validation_driven_audio_path", wav,
+        "--validation_prompts", "A person is talking",
+        "--width", "32", "--height", "32",
+        "--sample_steps", "2",
+        "--clip_sample_n_frames", "9",
+        "--overlap_window_length", "1",
+        "--GPU_memory_mode", "sequential_cpu_offload",
+        "--output_dir", outdir,
+    ])
+    assert rc == 0
+    assert os.listdir(outdir)
