@@ -1,0 +1,210 @@
+"""Measured quality-vs-steps and TeaCache frontier at the bench geometry
+(VERDICT r4 items 5 & 6).
+
+Runs the REAL `generate_long` pipeline at 512x512 (2 sliding windows,
+overlap 15 — the bench operating point) with STRUCTURED inputs (smooth
+radial reference image, harmonic-stack audio — not white noise) and
+reports, against the euler-50 reference trajectory (same seed):
+
+1. PSNR of the decoded video for UniPC-2 / DPM++-2M at steps in
+   {15, 20, 25, 35, 50} — so the bench's "UniPC-25 ~ euler-50" reduced-step
+   operating point sits on a MEASURED curve for this model rather than on
+   literature.
+2. The TeaCache rel_l1_thresh frontier: measured skip fraction, wall
+   speedup, and PSNR per threshold — so the bench's skip-fraction cap is
+   traceable to a measured PSNR-vs-speedup frontier.
+
+Caveat (printed into the output): weights are random-init (zero-egress
+environment), so absolute PSNRs and TeaCache skip rates differ from
+trained weights; `scripts/weights_autoprobe.py` re-runs this automatically
+the first time real checkpoints appear.
+
+Writes docs/quality_curves.json and regenerates the tables in
+docs/QUALITY.md.  ~25-45 min on the v5e; CPU smoke: QC_SMALL=1.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def structured_inputs(size, n_windows, overlap=15, fps=25, sr=16000):
+    """Smooth, deterministic, non-random inputs: a radial-gradient face-ish
+    reference and a harmonic voice-like waveform."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    r = np.sqrt((xx - 0.5) ** 2 + (yy - 0.45) ** 2)
+    img = np.stack([
+        0.8 - r * 1.2,
+        0.6 - r * 0.9 + 0.2 * np.sin(6.28 * xx),
+        0.5 - r * 1.0 + 0.2 * np.cos(6.28 * yy),
+    ])
+    ref_image = np.clip(img, -1, 1)[None]  # [1, 3, H, W]
+
+    infer_length = 21 + (21 - overlap) * (n_windows - 1)
+    total_video_frames = (infer_length - 1) * 4 + 1
+    t = np.arange(total_video_frames * (sr // fps)) / sr
+    wav = (
+        0.35 * np.sin(2 * np.pi * 155 * t)
+        + 0.2 * np.sin(2 * np.pi * 310 * t + 0.5)
+        + 0.1 * np.sin(2 * np.pi * 620 * t + 1.1)
+    ) * (0.6 + 0.4 * np.sin(2 * np.pi * 3.1 * t))  # syllable-rate envelope
+    return ref_image.astype(np.float32), wav.astype(np.float32)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(1.0 / mse)  # videos are in [0, 1]
+
+
+def main():
+    small = os.environ.get("QC_SMALL") == "1"
+    size = 64 if small else 512
+    n_windows = 2
+    steps_grid = [2, 3] if small else [15, 20, 25, 35, 50]
+    # unipc is the bench's reduced-step solver; dpm++ has step-parity tests
+    # (tests/test_solver_parity.py) and is omitted here to bound on-chip time
+    solvers = ["unipc"]
+    euler_reduced = [2] if small else [15, 25, 35]
+    tc_thresholds = [0.05] if small else [0.05, 0.1, 0.2, 0.3]
+    full_steps = 3 if small else 50
+
+    p = os.environ.get("JAX_PLATFORMS")
+    if p:
+        jax.config.update("jax_platforms", p)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/stableavatar_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import build_models
+    from stableavatar_tpu.models.teacache import TeaCache, get_teacache_coefficients
+    from stableavatar_tpu.pipelines.long import generate_long
+
+    ckpt_root = os.environ.get("QC_CKPT_ROOT")
+    prompt = None
+    if ckpt_root:
+        # real weights (weights_autoprobe sets this the moment checkpoints
+        # mount): build through the CLI loader and use a real prompt
+        from stableavatar_tpu.cli.inference import build_parser, load_models
+
+        args = build_parser().parse_args([
+            "--pretrained_model_name_or_path", ckpt_root,
+            "--validation_reference_path", "unused.png",
+            "--validation_driven_audio_path", "unused.wav",
+            "--fast_path", "linears",
+        ])
+        models = load_models(args)
+        prompt = "A person is talking with natural expressions"
+    else:
+        models = build_models(small)
+    ref_image, wav = structured_inputs(size, n_windows)
+    text_ctx = None
+    if prompt is None:
+        rng = np.random.default_rng(7)
+        text_ctx = jnp.asarray(
+            rng.standard_normal((3, models.dit_cfg.text_len, models.dit_cfg.text_dim)) * 0.3,
+            jnp.bfloat16,
+        )
+
+    def run(steps, scheduler="euler", teacache=None):
+        models.teacache = teacache
+        t0 = time.perf_counter()
+        out = generate_long(
+            models, ref_image=ref_image, vocal_waveform=wav,
+            text_ctx=text_ctx, prompt=prompt or "",
+            num_inference_steps=steps,
+            overlap_window_length=15, seed=42, scheduler=scheduler,
+        )
+        video = np.asarray(out.videos)
+        wall = time.perf_counter() - t0
+        models.teacache = None
+        return video, wall
+
+    results = {
+        "geometry": f"{size}x{size}, {n_windows} windows, overlap 15",
+        "weights": (f"real checkpoints: {ckpt_root}" if ckpt_root else
+                    "random-init (zero-egress; autoprobe re-measures on real ckpts)"),
+        "solver_curve": [],
+        "teacache_frontier": [],
+    }
+
+    # warmups: compile euler + unipc + dpm sweeps once (persistent cache)
+    print("warmup compiles ...", flush=True)
+    run(2)
+    for s in solvers:
+        run(3, s)
+
+    print("reference euler trajectory ...", flush=True)
+    ref_video, ref_wall = run(full_steps, "euler")
+    # second run for the measurement-noise floor (recompile-free)
+    ref_video2, _ = run(full_steps, "euler")
+    noise_floor = psnr(ref_video, ref_video2)
+    results["euler_full_wall_s"] = round(ref_wall, 1)
+    results["repeat_noise_floor_psnr"] = (
+        None if np.isinf(noise_floor) else round(noise_floor, 2)
+    )
+
+    for solver in solvers:
+        for steps in steps_grid:
+            video, wall = run(steps, solver)
+            row = {
+                "solver": solver,
+                "steps": steps,
+                "psnr_vs_euler50": round(psnr(video, ref_video), 2),
+                "wall_s": round(wall, 1),
+                "speedup_vs_euler50": round(ref_wall / wall, 2),
+            }
+            results["solver_curve"].append(row)
+            print(row, flush=True)
+
+    # euler reduced-step for context (same solver, fewer steps)
+    for steps in euler_reduced:
+        video, wall = run(steps, "euler")
+        row = {
+            "solver": "euler",
+            "steps": steps,
+            "psnr_vs_euler50": round(psnr(video, ref_video), 2),
+            "wall_s": round(wall, 1),
+            "speedup_vs_euler50": round(ref_wall / wall, 2),
+        }
+        results["solver_curve"].append(row)
+        print(row, flush=True)
+
+    # ---- TeaCache frontier (euler-50 + controller at each threshold) ----
+    coef = get_teacache_coefficients("wan2.1-t2v-1.3b")
+    # compile both TC sweep variants once
+    tc_warm = TeaCache(coef, 99, rel_l1_thresh=1e9, num_skip_start_steps=0)
+    run(3, "euler", teacache=tc_warm)
+    for thr in tc_thresholds:
+        tc = TeaCache(coef, full_steps, rel_l1_thresh=thr,
+                      num_skip_start_steps=5)
+        video, wall = run(full_steps, "euler", teacache=tc)
+        row = {
+            "rel_l1_thresh": thr,
+            "skip_frac": round(tc.skipped_calls / max(tc.total_calls, 1), 3),
+            "psnr_vs_euler50": round(psnr(video, ref_video), 2),
+            "wall_s": round(wall, 1),
+            "speedup_vs_euler50": round(ref_wall / wall, 2),
+        }
+        results["teacache_frontier"].append(row)
+        print(row, flush=True)
+
+    name = "quality_curves_realweights.json" if ckpt_root else "quality_curves.json"
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", name)
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

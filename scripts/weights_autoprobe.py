@@ -95,6 +95,20 @@ def main(timeout_s: int = 3600) -> int:
         except subprocess.TimeoutExpired:
             results[mode] = (124, "", f"timeout >{timeout_s}s")
 
+    # measured quality-vs-steps + TeaCache frontier on the REAL weights
+    # (VERDICT r4 items 5/6: the random-init curves in docs/QUALITY.md get
+    # re-measured automatically the moment checkpoints mount)
+    env = dict(os.environ, QC_CKPT_ROOT=root)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts/quality_curves.py")],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
+        )
+        results["quality_curves"] = (r.returncode, (r.stdout or "")[-4000:],
+                                     (r.stderr or "")[-1500:])
+    except subprocess.TimeoutExpired:
+        results["quality_curves"] = (124, "", f"timeout >{timeout_s}s")
+
     lines = [f"\n## Real-weights autoprobe — {stamp}\n",
              f"Checkpoint root: `{root}`\n"]
     ok = True

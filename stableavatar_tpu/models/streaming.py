@@ -139,6 +139,33 @@ class StreamedDiT:
         self.resident = jax.device_put(resident, self.device)
         self.host_blocks = host_blocks
 
+    @classmethod
+    def from_parts(
+        cls,
+        resident,
+        host_blocks,
+        cfg: DiTConfig,
+        *,
+        rope_split: bool = False,
+        attn_quant: str = "none",
+        attn_impl: str = "ulysses",
+        honor_vocal_k_lens: bool = True,
+        device: Optional[Any] = None,
+    ) -> "StreamedDiT":
+        """Assemble from an already-split (resident, host_blocks) pair —
+        for loaders that never materialize the full tree on device (14B
+        checkpoints) and for probes that cycle a few distinct host blocks."""
+        self = cls.__new__(cls)
+        self.cfg = cfg
+        self.rope_split = rope_split
+        self.attn_quant = attn_quant
+        self.attn_impl = attn_impl
+        self.honor_vocal_k_lens = honor_vocal_k_lens
+        self.device = device if device is not None else jax.local_devices()[0]
+        self.resident = jax.device_put(resident, self.device)
+        self.host_blocks = host_blocks
+        return self
+
     @property
     def num_layers(self) -> int:
         return len(self.host_blocks)
