@@ -238,6 +238,7 @@ def _cross_attention(
     latents_num_frames,
     eps,
     quant="none",
+    fused=False,
 ):
     """WanI2VTalkingCrossAttention (`wan_fantasy_transformer3d_1B.py:504-605`):
     text + image + per-frame vocal branches, summed."""
@@ -262,9 +263,17 @@ def _cross_attention(
     # NOTE: batching text+img into one call (stacked batch + per-row k_lens)
     # was tried and measured SLOWER (+0.07 s/step): duplicating q for the
     # stacked batch costs more HBM traffic than the saved kernel launch
-    # (scripts/bench_dit_step.py).  Two calls it is.
-    txt = attention(q, k, v, quant=quant)
-    img = attention(q, k_img, v_img, quant=quant)
+    # (scripts/bench_dit_step.py).  The fused dual-context kernel
+    # (ops/cross_attention.py) instead reads q ONCE and computes both
+    # segmented softmaxes in one pass — inference fast path only (no VJP).
+    if fused:
+        from stableavatar_tpu.ops.cross_attention import dual_context_attention
+
+        txt_img = dual_context_attention(q, k, v, k_img, v_img)
+    else:
+        txt = attention(q, k, v, quant=quant)
+        img = attention(q, k_img, v_img, quant=quant)
+        txt_img = txt + img
 
     # vocal branch: per-latent-frame attention (q regrouped to [b*f, l/f, ...]);
     # clip-level mode (vocal frame dim == 1) is one global pass instead
@@ -282,7 +291,7 @@ def _cross_attention(
             klens = jnp.tile(vocal_k_lens, b)
         voc = attention(vq, vk, vv, k_lens=klens).reshape(b, l, num_heads, d)
 
-    out = (txt + img).reshape(b, l, dim) + voc.reshape(b, l, dim)
+    out = txt_img.reshape(b, l, dim) + voc.reshape(b, l, dim)
     return apply_linear(p["o"], out)
 
 
@@ -300,6 +309,7 @@ def apply_block(
     rope_packed=None,
     attn_quant="none",
     attn_impl="ulysses",
+    fuse_cross=False,
 ):
     """WanAttentionBlock (`wan_fantasy_transformer3d_1B.py:650-695`)."""
     e = p["modulation"].astype(e0.dtype) + e0  # [B, 6, dim]
@@ -325,6 +335,7 @@ def apply_block(
         cfg.num_heads,
         latents_num_frames,
         cfg.eps,
+        fused=fuse_cross,
     )
 
     temp = (layer_norm(x, eps=cfg.eps) * (1 + e[4]) + e[3]).astype(x.dtype)
@@ -487,6 +498,7 @@ def dit_forward(
     attn_quant: str = "none",
     attn_impl: str = "ulysses",
     honor_vocal_k_lens: bool = True,
+    fuse_cross_attn: Optional[bool] = None,
 ) -> jnp.ndarray:
     """One denoise evaluation.  Returns velocity prediction [B, 16, F, H, W].
 
@@ -499,6 +511,11 @@ def dit_forward(
     `utils/fastpath.py:prepare_fast_params` (split-pair q/k layout); rope is
     then fused into the flash kernel.  `attn_quant` in {"none","qk","qkpv"}
     selects the int8 MXU attention fast path (inference only).
+
+    `fuse_cross_attn` selects the fused dual-context cross-attention kernel
+    (ops/cross_attention.py; inference only — no VJP).  None = auto: fuse
+    exactly when the int8 attention fast path is active (`attn_quant` set),
+    which is the existing inference-only signal; training never sets it.
 
     `honor_vocal_k_lens=False` replicates the reference's torch-SDPA
     deployment bit-for-bit: its `attention()` wrapper DROPS the vocal
@@ -520,6 +537,9 @@ def dit_forward(
         honor_vocal_k_lens=honor_vocal_k_lens,
     )
 
+    fuse_cross = (attn_quant != "none" if fuse_cross_attn is None
+                  else fuse_cross_attn)
+
     def body(tok, bp):
         out = apply_block(
             bp,
@@ -535,6 +555,7 @@ def dit_forward(
             rope_packed=rope_packed,
             attn_quant=attn_quant,
             attn_impl=attn_impl,
+            fuse_cross=fuse_cross,
         )
         return out, None
 

@@ -103,6 +103,8 @@ def _block_jit(
         bp, tokens, e0, context_text, context_img, vocal_context,
         vocal_k_lens, freqs, cfg, latents_num_frames,
         rope_packed=rope_packed, attn_quant=attn_quant, attn_impl=attn_impl,
+        # streamed forward = inference only; same auto rule as dit_forward
+        fuse_cross=attn_quant != "none",
     )
 
 
