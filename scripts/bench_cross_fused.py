@@ -31,29 +31,32 @@ REPS = 5
 FLOPS = 4 * B * N * L * (L1 + L2) * D * LAYERS
 
 
-def chain(fn, q, kvs):
-    """Run fn LAYERS times, feeding a cheap mix of the output back into q so
-    XLA cannot elide or parallelize the chain."""
+def make_chain(fn, kvs):
+    """One jitted program running fn LAYERS times with a serializing carry.
+    Built ONCE per fn: rebuilding the closure per rep would re-trace and
+    re-compile every call (a fresh callable misses the jit cache) and time
+    compiles instead of the kernel."""
 
     def body(x, _):
         out = fn(x, *kvs)
-        x = x + 0.0 * out[:, :1].mean() + 0.0  # serialize on out
+        x = x + 0.0 * out[:, :1].mean()  # serialize on out
         return x, out[:, 0, 0, 0]
 
+    @jax.jit
     def run(x):
         x, outs = jax.lax.scan(body, x, None, length=LAYERS)
         return outs.sum() + x.mean()
 
-    return jax.jit(run)(q)
+    return run
 
 
 def measure(fn, q, kvs):
-    r = chain(fn, q, kvs)
-    float(r)  # compile + warm (block_until_ready is a no-op over the tunnel)
+    run = make_chain(fn, kvs)
+    float(run(q))  # compile + warm (block_until_ready no-op over the tunnel)
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
-        r = chain(fn, q, kvs)
+        r = run(q)
         float(r)
         best = min(best, time.perf_counter() - t0)
     return best

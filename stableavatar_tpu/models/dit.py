@@ -267,6 +267,10 @@ def _cross_attention(
     # (ops/cross_attention.py) instead reads q ONCE and computes both
     # segmented softmaxes in one pass — inference fast path only (no VJP).
     if fused:
+        import os as _os
+
+        fused = _os.environ.get("STABLEAVATAR_DUAL_CROSS") != "off"
+    if fused:
         from stableavatar_tpu.ops.cross_attention import dual_context_attention
 
         txt_img = dual_context_attention(q, k, v, k_img, v_img)

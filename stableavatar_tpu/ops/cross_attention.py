@@ -46,6 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from stableavatar_tpu.ops.flash_attention import EXP2_SOFTMAX, LOG2E, NEG_INF
 
+# measured crossover control (see dual_context_attention docstring): below
+# this f32-logits footprint the two-call XLA path wins; above it,
+# materialization becomes the problem and the fused kernel takes over
+DUAL_XLA_LOGITS_MAX_BYTES = 4 << 30
+
 
 def _dual_body(
     q_ref,   # [1, BQ, D]
@@ -69,7 +74,10 @@ def _dual_body(
 
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     seg1 = col < p1
-    valid = jnp.where(seg1, col < l1, col < p1 + l2)
+    # select on int32 bounds, not on booleans: an i1-valued where lowers to
+    # an i8->i1 arith.trunci that Mosaic rejects ("Unsupported target
+    # bitwidth for truncation", measured on v5e)
+    valid = col < jnp.where(seg1, l1, p1 + l2)
     s = jnp.where(valid, s, NEG_INF)
 
     exp = jnp.exp2 if EXP2_SOFTMAX else jnp.exp
@@ -119,14 +127,39 @@ def dual_context_attention(
     backend: str = "auto",
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """attn(q,k1,v1) + attn(q,k2,v2) in one fused kernel pass (TPU), or the
-    two-call XLA reference elsewhere.  Inference-only (no VJP)."""
+    """attn(q,k1,v1) + attn(q,k2,v2), routed to the measured-fastest path.
+
+    On-chip measurements at the DiT cross-attn shape (B=3, Lq=21504, N=12,
+    D=128, Lk=512/257; scripts/bench_cross_fused.py, v5e):
+
+        two Pallas flash calls   20.1 ms/layer   (shipped r4 path)
+        fused Pallas (this file) 16.8 ms/layer
+        two XLA SDPA calls        9.7 ms/layer   <- winner
+
+    At short contexts the materialized-logits XLA path streams better than
+    any per-cell kernel (the kernel is VPU-bound on its [BQ, LK] block
+    ops), so `auto` picks XLA whenever the f32 logits fit a comfortable
+    budget and the fused kernel only for shapes where materialization
+    would not (the very reason self-attention must use Pallas,
+    ops/attention.py:_use_pallas).  `STABLEAVATAR_DUAL_CROSS` in
+    {"xla","pallas"} forces a path for experiments.  Inference-only (no
+    VJP on the kernel path)."""
+    import os
+
     b, lq, n, d = q.shape
     if scale is None:
         scale = d ** -0.5
-    use_pallas = backend == "pallas" or (
-        backend == "auto" and jax.default_backend() == "tpu" and lq >= 2048
-    )
+    if backend == "auto":
+        backend = os.environ.get("STABLEAVATAR_DUAL_CROSS", "auto")
+    if backend == "auto":
+        logits_bytes = 4 * b * n * lq * (k1.shape[1] + k2.shape[1] + 256)
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and lq >= 2048
+            and logits_bytes > DUAL_XLA_LOGITS_MAX_BYTES
+        )
+    else:
+        use_pallas = backend == "pallas"
     if not use_pallas and not interpret:
         return _dual_reference(q, k1, v1, k2, v2, scale)
 
