@@ -46,12 +46,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from stableavatar_tpu.ops.flash_attention import EXP2_SOFTMAX, LOG2E, NEG_INF
 
-# measured crossover control (see dual_context_attention docstring): below
-# this f32-logits footprint the two-call XLA path wins; above it,
-# materialization becomes the problem and the fused kernel takes over
-DUAL_XLA_LOGITS_MAX_BYTES = 4 << 30
-
-
 def _dual_body(
     q_ref,   # [1, BQ, D]
     kc_ref,  # [1, LKP, D]  (k1 padded || k2 padded)
@@ -129,19 +123,22 @@ def dual_context_attention(
 ) -> jnp.ndarray:
     """attn(q,k1,v1) + attn(q,k2,v2), routed to the measured-fastest path.
 
-    On-chip measurements at the DiT cross-attn shape (B=3, Lq=21504, N=12,
-    D=128, Lk=512/257; scripts/bench_cross_fused.py, v5e):
+    Routing is decided by the IN-CONTEXT measurement, not the isolated
+    microbench — the two disagree.  Full DiT window step, same process,
+    min of 3 (scripts/bench_cross_route.py, v5e, fast path):
 
-        two Pallas flash calls   20.1 ms/layer   (shipped r4 path)
-        fused Pallas (this file) 16.8 ms/layer
-        two XLA SDPA calls        9.7 ms/layer   <- winner
+        two Pallas flash calls   3.045 s/step   (shipped r4 path)
+        two XLA SDPA calls       3.191 s/step
+        fused Pallas (this file) 2.944 s/step   <- winner, adopted
 
-    At short contexts the materialized-logits XLA path streams better than
-    any per-cell kernel (the kernel is VPU-bound on its [BQ, LK] block
-    ops), so `auto` picks XLA whenever the f32 logits fit a comfortable
-    budget and the fused kernel only for shapes where materialization
-    would not (the very reason self-attention must use Pallas,
-    ops/attention.py:_use_pallas).  `STABLEAVATAR_DUAL_CROSS` in
+    The isolated chain (scripts/bench_cross_fused.py) ranks them the
+    OPPOSITE way (XLA 9.7 ms/layer < fused 16.8 < two-Pallas 20.1): with
+    the whole chip to itself, XLA streams the materialized f32 logits at
+    full HBM bandwidth, but inside the real block that ~1.9 GB/layer of
+    logit traffic competes with the surrounding projections and loses to
+    the kernel that never leaves VMEM.  `auto` therefore picks the fused
+    kernel for long-q TPU shapes (same lq>=2048 criterion as
+    ops/attention.py:_use_pallas); `STABLEAVATAR_DUAL_CROSS` in
     {"xla","pallas"} forces a path for experiments.  Inference-only (no
     VJP on the kernel path)."""
     import os
@@ -152,12 +149,7 @@ def dual_context_attention(
     if backend == "auto":
         backend = os.environ.get("STABLEAVATAR_DUAL_CROSS", "auto")
     if backend == "auto":
-        logits_bytes = 4 * b * n * lq * (k1.shape[1] + k2.shape[1] + 256)
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and lq >= 2048
-            and logits_bytes > DUAL_XLA_LOGITS_MAX_BYTES
-        )
+        use_pallas = jax.default_backend() == "tpu" and lq >= 2048
     else:
         use_pallas = backend == "pallas"
     if not use_pallas and not interpret:

@@ -23,7 +23,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/stableavatar_jax_cache")
+# Separate cache dir from the on-chip one (/tmp/stableavatar_jax_cache): a
+# concurrently-running TPU bench writing the same dir segfaulted the suite
+# inside put_executable_and_time (observed twice, rc=139, round 5)
+jax.config.update("jax_compilation_cache_dir", "/tmp/stableavatar_jax_cache_cputests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 # fp32 parity with the torch oracles (JAX CPU matmuls default to a reduced
 # precision that costs ~3 decimal digits)
