@@ -480,7 +480,9 @@ def run_bench(state: BenchState):
         )
 
     # ---------------- phase 3: TeaCache ----------------
-    est = measure_cost * ((3 + steps) / measured_pass_steps) + 60
+    # warmup (3 steps) + all-skip t_skip pass + thr-0.1 pass; the all-skip
+    # pass mostly skips, so budget it at ~40% of a full pass
+    est = measure_cost * ((3 + 1.4 * steps) / measured_pass_steps) + 60
     if state.remaining() - WATCHDOG_MARGIN_S < est:
         state.skip_phase("teacache", f"needs ~{est:.0f}s, "
                                      f"{state.remaining():.0f}s left")
@@ -498,25 +500,42 @@ def run_bench(state: BenchState):
         )
         run_pipeline(models, size=size, steps=3, seed=1, n_windows=n_windows,
                      overlap=overlap)
+        # t_skip from a dedicated ALL-SKIP pass: with thresh=inf and no
+        # start window, all but the first call per window skip, so the
+        # skipped calls dominate the subtraction and tunnel variance in
+        # t_wstep cannot blow up the estimate (at a thr-0.1 10-step pass
+        # only ~4 of 20 calls skip and the estimator once produced a
+        # nonsensical 3.53 s "skip step")
+        state.set_phase("teacache_skiprate")
+        models.teacache = TeaCache(
+            get_teacache_coefficients("wan2.1-t2v-1.3b"), steps,
+            rel_l1_thresh=1e9, num_skip_start_steps=0,
+        )
+        _, phases_sk, _ = run_pipeline(
+            models, size=size, steps=steps, seed=42, n_windows=n_windows,
+            overlap=overlap,
+        )
+        tc_sk = models.teacache
+        computed_sk = tc_sk.total_calls - tc_sk.skipped_calls
+        t_skip = (
+            (phases_sk["denoise_step"]["total_s"] - computed_sk * t_wstep)
+            / tc_sk.skipped_calls
+            if tc_sk.skipped_calls else 0.0
+        )
+        t_skip = max(t_skip, 0.0)
+
         state.set_phase("teacache_measure")
         models.teacache = TeaCache(
             get_teacache_coefficients("wan2.1-t2v-1.3b"), steps,
             rel_l1_thresh=0.1, num_skip_start_steps=min(5, steps // 2),
         )
-        _, phases_tc, _ = run_pipeline(
+        run_pipeline(
             models, size=size, steps=steps, seed=42, n_windows=n_windows,
             overlap=overlap,
         )
         tc = models.teacache
         models.teacache = None
         skip_frac_randinit = tc.skipped_calls / max(tc.total_calls, 1)
-        denoise_tc = phases_tc["denoise_step"]["total_s"]
-        computed = tc.total_calls - tc.skipped_calls
-        t_skip = (
-            (denoise_tc - computed * t_wstep) / tc.skipped_calls
-            if tc.skipped_calls else 0.0
-        )
-        t_skip = max(t_skip, 0.0)
         # random-init over-skips; cap at the LOW end of the published
         # TeaCache-for-Wan2.1 envelope (module docstring). The measured
         # rel_l1-vs-speedup frontier for THIS model: docs/QUALITY.md.

@@ -12,6 +12,14 @@ scripts/microbench_int8.py):
      viable at these SHORT contexts, included as the "let XLA do it" bar)
 
 Useful FLOPs counted for the UNPADDED segment lengths (512 + 257).
+
+WARNING — this ISOLATED ranking disagrees with the in-context one and
+must not drive routing decisions.  Measured v5e: isolated, XLA (c) wins
+(9.7 ms/layer vs fused 16.8 vs two-Pallas 20.1); inside the full DiT step
+(scripts/bench_cross_route.py) the order INVERTS — fused 2.944 s/step <
+two-Pallas 3.045 < XLA 3.191 — because the XLA path's ~1.9 GB/layer of
+materialized f32 logits has the HBM to itself here but competes with the
+surrounding projections in the real block.  Route from bench_cross_route.
 """
 
 import os
