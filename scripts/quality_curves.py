@@ -1,26 +1,40 @@
 """Measured quality-vs-steps and TeaCache frontier at the bench geometry
 (VERDICT r4 items 5 & 6).
 
-Runs the REAL `generate_long` pipeline at 512x512 (2 sliding windows,
+Runs the REAL `generate_long` denoise loop at 512x512 (2 sliding windows,
 overlap 15 — the bench operating point) with STRUCTURED inputs (smooth
 radial reference image, harmonic-stack audio — not white noise) and
 reports, against the euler-50 reference trajectory (same seed):
 
-1. PSNR of the decoded video for UniPC-2 / DPM++-2M at steps in
-   {15, 20, 25, 35, 50} — so the bench's "UniPC-25 ~ euler-50" reduced-step
-   operating point sits on a MEASURED curve for this model rather than on
+1. PSNR for UniPC-2 at steps in {15, 20, 25, 35, 50} plus euler reduced
+   steps — so the bench's "UniPC-25 ~ euler-50" reduced-step operating
+   point sits on a MEASURED curve for this model rather than on
    literature.
 2. The TeaCache rel_l1_thresh frontier: measured skip fraction, wall
    speedup, and PSNR per threshold — so the bench's skip-fraction cap is
    traceable to a measured PSNR-vs-speedup frontier.
+
+Metrics (both computed on device; only scalars cross the tunnel):
+- `psnr_latent`  — PSNR over the FINAL LATENTS (peak = reference latent
+  dynamic range).  Primary solver-agreement number: with random-init
+  weights the uint8 display decode saturates/quantizes away sub-1/255
+  differences (every earlier attempt measured `inf` there), so the
+  latent trajectory is the honest signal.
+- `psnr_video_f32` — PSNR over the UNCLIPPED float32 VAE decode (peak =
+  reference decode dynamic range): same comparison after the decoder's
+  nonlinear amplification, before display clipping.
+
+Wall times cover the denoise sweep only (decode excluded — identical
+across operating points and measured separately in bench.py).
 
 Caveat (printed into the output): weights are random-init (zero-egress
 environment), so absolute PSNRs and TeaCache skip rates differ from
 trained weights; `scripts/weights_autoprobe.py` re-runs this automatically
 the first time real checkpoints appear.
 
-Writes docs/quality_curves.json and regenerates the tables in
-docs/QUALITY.md.  ~25-45 min on the v5e; CPU smoke: QC_SMALL=1.
+Writes docs/quality_curves.json INCREMENTALLY (every row — a timeout
+still leaves a usable curve) and regenerates docs/QUALITY.md at each
+write.  ~45 min on the v5e; CPU smoke: QC_SMALL=1.
 """
 
 import json
@@ -59,11 +73,41 @@ def structured_inputs(size, n_windows, overlap=15, fps=25, sr=16000):
     return ref_image.astype(np.float32), wav.astype(np.float32)
 
 
-def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
-    if mse == 0:
+def sensitize_random_init(models) -> None:
+    """Make a random-init DiT solver-discriminating (in place).
+
+    Two reference-parity inits defeat the measurement as-is (verified by
+    direct probe):
+    1. The output head is ZERO-init (models/dit.py init_dit, mirroring the
+       reference's init_weights `wan_fantasy_transformer3d_1B.py:1208`), so
+       the velocity output is exactly 0: latents never change and EVERY
+       solver/step-count yields bit-identical trajectories (the old curve's
+       `inf` rows were this, not solver agreement).
+    2. The time-MLP's 0.02-std init makes e0 nearly t-constant, so adaLN
+       modulation barely varies across timesteps (also starves TeaCache's
+       rel-L1 signal).
+
+    Re-randomize the head at 1/sqrt(dim) scale and amplify the time-MLP so
+    the velocity field varies with (x, t) like a trained model's.  The
+    result measures SOLVER agreement on a non-degenerate field — still not
+    perceptual quality (see the weights caveat)."""
+    import jax
+
+    d = models.dit_cfg.dim
+    head = models.dit_params["head"]["head"]
+    key = jax.random.PRNGKey(1234)
+    head["w"] = (
+        jax.random.normal(key, head["w"].shape, jnp.float32) / d**0.5
+    ).astype(head["w"].dtype)
+    te = models.dit_params["time_embedding"]
+    for fc in ("fc1", "fc2"):
+        te[fc]["w"] = te[fc]["w"] * 5.0
+
+
+def psnr_from_mse(mse: float, peak: float) -> float:
+    if mse <= 0:
         return float("inf")
-    return 10.0 * np.log10(1.0 / mse)  # videos are in [0, 1]
+    return 10.0 * float(np.log10(peak * peak / mse))
 
 
 def main():
@@ -87,6 +131,7 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import build_models
     from stableavatar_tpu.models.teacache import TeaCache, get_teacache_coefficients
+    from stableavatar_tpu.models.vae import decode_video
     from stableavatar_tpu.pipelines.long import generate_long
 
     ckpt_root = os.environ.get("QC_CKPT_ROOT")
@@ -106,6 +151,7 @@ def main():
         prompt = "A person is talking with natural expressions"
     else:
         models = build_models(small)
+        sensitize_random_init(models)
     ref_image, wav = structured_inputs(size, n_windows)
     text_ctx = None
     if prompt is None:
@@ -116,6 +162,9 @@ def main():
         )
 
     def run(steps, scheduler="euler", teacache=None):
+        """Denoise sweep only (output_type='latent'): returns final latents
+        (device f32) + wall.  A one-element host read forces completion
+        (block_until_ready is a no-op over the remote tunnel)."""
         models.teacache = teacache
         t0 = time.perf_counter()
         out = generate_long(
@@ -123,62 +172,102 @@ def main():
             text_ctx=text_ctx, prompt=prompt or "",
             num_inference_steps=steps,
             overlap_window_length=15, seed=42, scheduler=scheduler,
+            output_type="latent",
         )
-        video = np.asarray(out.videos)
+        np.asarray(out.latents[0, 0, 0, 0, 0])
         wall = time.perf_counter() - t0
         models.teacache = None
-        return video, wall
+        return out.latents, wall
+
+    def decode_f32(latents):
+        # decode in the pipeline's dtype (bf16), keep f32 stats on device
+        return decode_video(
+            models.vae_params, latents.astype(jnp.bfloat16), models.vae_cfg
+        ).astype(jnp.float32)
+
+    @jax.jit
+    def mse_pair(a, b):
+        return jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
 
     results = {
         "full_steps": full_steps,
-        "geometry": f"{size}x{size}, {n_windows} windows, overlap 15",
+        "geometry": (f"{size}x{size}, {n_windows} windows, overlap 15; "
+                     "wall = denoise sweep only (decode excluded)"),
         "weights": (f"real checkpoints: {ckpt_root}" if ckpt_root else
-                    "random-init (zero-egress; autoprobe re-measures on real ckpts)"),
+                    "random-init + solver-sensitization (random head, 5x "
+                    "time-MLP; see sensitize_random_init — the reference's "
+                    "zero-init head makes raw random-init trajectories "
+                    "solver-invariant); autoprobe re-measures on real ckpts"),
+        "metric_note": ("psnr_latent: final latents, peak = ref latent range; "
+                        "psnr_video_f32: unclipped f32 VAE decode, peak = ref "
+                        "decode range (uint8 display decode quantizes random-"
+                        "init differences to zero, hence not used)"),
         "solver_curve": [],
         "teacache_frontier": [],
     }
 
-    # warmups: compile euler + unipc + dpm sweeps once (persistent cache)
+    docs = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs")
+    name = "quality_curves_realweights.json" if ckpt_root else "quality_curves.json"
+    out_path = os.path.join(docs, name)
+
+    def flush_results():
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+        write_quality_md(docs)
+
+    # warmups: compile euler + unipc sweeps + decode once (persistent cache)
     print("warmup compiles ...", flush=True)
-    run(2)
+    lat_w, _ = run(2)
+    decode_f32(lat_w)
     for s in solvers:
         run(3, s)
 
     print("reference euler trajectory ...", flush=True)
-    ref_video, ref_wall = run(full_steps, "euler")
-    # second run for the measurement-noise floor (recompile-free)
-    ref_video2, _ = run(full_steps, "euler")
-    noise_floor = psnr(ref_video, ref_video2)
+    ref_lat, ref_wall = run(full_steps, "euler")
+    # second run: recompile-free wall (use the min) + determinism floor
+    ref_lat2, ref_wall2 = run(full_steps, "euler")
+    repeat_mse = float(mse_pair(ref_lat, ref_lat2))
+    ref_wall = min(ref_wall, ref_wall2)
+    ref_dec = decode_f32(ref_lat)
+    lat_peak = float(jnp.max(ref_lat) - jnp.min(ref_lat))
+    vid_peak = float(jnp.max(ref_dec) - jnp.min(ref_dec))
     results["euler_full_wall_s"] = round(ref_wall, 1)
-    results["repeat_noise_floor_psnr"] = (
-        None if np.isinf(noise_floor) else round(noise_floor, 2)
-    )
+    results["latent_peak"] = round(lat_peak, 3)
+    results["video_f32_peak"] = round(vid_peak, 3)
+    nf = psnr_from_mse(repeat_mse, lat_peak)
+    results["repeat_noise_floor_psnr_latent"] = (
+        None if np.isinf(nf) else round(nf, 2))
+    flush_results()
+
+    def measure(latents, wall, **label):
+        dec = decode_f32(latents)
+        row = dict(label)
+        row.update({
+            "psnr_latent": round(psnr_from_mse(
+                float(mse_pair(latents, ref_lat)), lat_peak), 2),
+            "psnr_video_f32": round(psnr_from_mse(
+                float(mse_pair(dec, ref_dec)), vid_peak), 2),
+            "wall_s": round(wall, 1),
+            "speedup_vs_euler50": round(ref_wall / wall, 2),
+        })
+        return row
 
     for solver in solvers:
         for steps in steps_grid:
-            video, wall = run(steps, solver)
-            row = {
-                "solver": solver,
-                "steps": steps,
-                "psnr_vs_euler50": round(psnr(video, ref_video), 2),
-                "wall_s": round(wall, 1),
-                "speedup_vs_euler50": round(ref_wall / wall, 2),
-            }
+            lat, wall = run(steps, solver)
+            row = measure(lat, wall, solver=solver, steps=steps)
             results["solver_curve"].append(row)
             print(row, flush=True)
+            flush_results()
 
     # euler reduced-step for context (same solver, fewer steps)
     for steps in euler_reduced:
-        video, wall = run(steps, "euler")
-        row = {
-            "solver": "euler",
-            "steps": steps,
-            "psnr_vs_euler50": round(psnr(video, ref_video), 2),
-            "wall_s": round(wall, 1),
-            "speedup_vs_euler50": round(ref_wall / wall, 2),
-        }
+        lat, wall = run(steps, "euler")
+        row = measure(lat, wall, solver="euler", steps=steps)
         results["solver_curve"].append(row)
         print(row, flush=True)
+        flush_results()
 
     # ---- TeaCache frontier (euler-50 + controller at each threshold) ----
     coef = get_teacache_coefficients("wan2.1-t2v-1.3b")
@@ -188,51 +277,51 @@ def main():
     for thr in tc_thresholds:
         tc = TeaCache(coef, full_steps, rel_l1_thresh=thr,
                       num_skip_start_steps=5)
-        video, wall = run(full_steps, "euler", teacache=tc)
-        row = {
-            "rel_l1_thresh": thr,
-            "skip_frac": round(tc.skipped_calls / max(tc.total_calls, 1), 3),
-            "psnr_vs_euler50": round(psnr(video, ref_video), 2),
-            "wall_s": round(wall, 1),
-            "speedup_vs_euler50": round(ref_wall / wall, 2),
-        }
+        lat, wall = run(full_steps, "euler", teacache=tc)
+        row = measure(lat, wall, rel_l1_thresh=thr,
+                      skip_frac=round(tc.skipped_calls / max(tc.total_calls, 1), 3))
         results["teacache_frontier"].append(row)
         print(row, flush=True)
+        flush_results()
 
-    name = "quality_curves_realweights.json" if ckpt_root else "quality_curves.json"
-    docs = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "docs")
-    out_path = os.path.join(docs, name)
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=1)
+    flush_results()
     print(f"wrote {out_path}", flush=True)
-    write_quality_md(docs)
     print(f"regenerated {os.path.join(docs, 'QUALITY.md')}", flush=True)
+
+
+def _fmt_psnr(row):
+    lat = row.get("psnr_latent", row.get("psnr_vs_euler50"))
+    vid = row.get("psnr_video_f32")
+    return (f"{lat}" if vid is None else f"{lat} / {vid}")
 
 
 def _md_tables(r):
     ref = f"euler-{r.get('full_steps', 50)}"
     out = [f"Geometry: {r['geometry']}; weights: {r['weights']}.\n"]
     if r.get("euler_full_wall_s") is not None:
-        nf = r.get("repeat_noise_floor_psnr")
+        nf = r.get("repeat_noise_floor_psnr_latent",
+                   r.get("repeat_noise_floor_psnr"))
         out.append(
             f"Reference trajectory: {ref} ({r['euler_full_wall_s']} s wall); "
             f"repeat-run noise floor "
             f"{'inf (bit-identical repeats)' if nf is None else f'{nf} dB'}.\n")
+    if r.get("metric_note"):
+        out.append(f"PSNR columns: latent / f32-decode ({r['metric_note']}).\n")
     out.append(f"\n| solver | steps | PSNR vs {ref} (dB) | wall s | speedup |")
     out.append("|---|---|---|---|---|")
     for row in r.get("solver_curve", []):
         out.append(f"| {row['solver']} | {row['steps']} | "
-                   f"{row['psnr_vs_euler50']} | {row['wall_s']} | "
+                   f"{_fmt_psnr(row)} | {row['wall_s']} | "
                    f"{row['speedup_vs_euler50']}x |")
     if r.get("teacache_frontier"):
-        out.append("\nTeaCache frontier (euler-50 + controller):\n")
-        out.append("| rel_l1_thresh | skip frac | PSNR vs euler-50 (dB) "
+        out.append(f"\nTeaCache frontier (euler-{r.get('full_steps', 50)}"
+                   " + controller):\n")
+        out.append(f"| rel_l1_thresh | skip frac | PSNR vs {ref} (dB) "
                    "| wall s | speedup |")
         out.append("|---|---|---|---|---|")
         for row in r["teacache_frontier"]:
             out.append(f"| {row['rel_l1_thresh']} | {row['skip_frac']} | "
-                       f"{row['psnr_vs_euler50']} | {row['wall_s']} | "
+                       f"{_fmt_psnr(row)} | {row['wall_s']} | "
                        f"{row['speedup_vs_euler50']}x |")
     return out
 
