@@ -112,6 +112,7 @@ def psnr_from_mse(mse: float, peak: float) -> float:
 
 def main():
     small = os.environ.get("QC_SMALL") == "1"
+    true_ref = os.environ.get("QC_TRUE_REF") == "1"
     size = 64 if small else 512
     n_windows = 2
     steps_grid = [2, 3] if small else [15, 20, 25, 35, 50]
@@ -121,6 +122,22 @@ def main():
     euler_reduced = [2] if small else [15, 25, 35]
     tc_thresholds = [0.05] if small else [0.05, 0.1, 0.2, 0.3]
     full_steps = 3 if small else 50
+    if true_ref:
+        # Matched-quality mode: measuring "distance from the EULER-50
+        # trajectory" favors same-scheme euler-reduced runs (discretization
+        # bias — measured: euler-15 scored above unipc-25 on that metric).
+        # The honest operationalization of "unipc-25 ~ euler-50 quality" is
+        # distance from the TRUE ODE solution: reference = unipc-200
+        # (global error O(1/200^2)), cross-validated by an euler-200 row
+        # (different scheme converging to the same solution), candidates =
+        # euler-{25,50} and unipc-{15,25,35,50} all scored against it.
+        full_steps = 6 if small else 200
+        ref_solver = "unipc"
+        steps_grid = [2, 3] if small else [15, 25, 35, 50]
+        euler_reduced = [2, 3, 6] if small else [25, 50, 200]
+        tc_thresholds = []  # frontier belongs to the euler-50 baseline mode
+    else:
+        ref_solver = "euler"
 
     p = os.environ.get("JAX_PLATFORMS")
     if p:
@@ -191,6 +208,10 @@ def main():
 
     results = {
         "full_steps": full_steps,
+        "ref_solver": ref_solver,
+        "mode": ("true-ref (distance from the unipc-200 truth proxy; "
+                 "euler-200 row cross-validates the proxy)" if true_ref
+                 else "euler-50-trajectory baseline"),
         "geometry": (f"{size}x{size}, {n_windows} windows, overlap 15; "
                      "wall = denoise sweep only (decode excluded)"),
         "weights": (f"real checkpoints: {ckpt_root}" if ckpt_root else
@@ -208,7 +229,12 @@ def main():
 
     docs = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs")
-    name = "quality_curves_realweights.json" if ckpt_root else "quality_curves.json"
+    if ckpt_root:
+        name = ("quality_curves_realweights_trueref.json" if true_ref
+                else "quality_curves_realweights.json")
+    else:
+        name = ("quality_curves_trueref.json" if true_ref
+                else "quality_curves.json")
     out_path = os.path.join(docs, name)
 
     def flush_results():
@@ -223,10 +249,10 @@ def main():
     for s in solvers:
         run(3, s)
 
-    print("reference euler trajectory ...", flush=True)
-    ref_lat, ref_wall = run(full_steps, "euler")
+    print(f"reference {ref_solver}-{full_steps} trajectory ...", flush=True)
+    ref_lat, ref_wall = run(full_steps, ref_solver)
     # second run: recompile-free wall (use the min) + determinism floor
-    ref_lat2, ref_wall2 = run(full_steps, "euler")
+    ref_lat2, ref_wall2 = run(full_steps, ref_solver)
     repeat_mse = float(mse_pair(ref_lat, ref_lat2))
     ref_wall = min(ref_wall, ref_wall2)
     ref_dec = decode_f32(ref_lat)
@@ -270,10 +296,11 @@ def main():
         flush_results()
 
     # ---- TeaCache frontier (euler-50 + controller at each threshold) ----
-    coef = get_teacache_coefficients("wan2.1-t2v-1.3b")
-    # compile both TC sweep variants once
-    tc_warm = TeaCache(coef, 99, rel_l1_thresh=1e9, num_skip_start_steps=0)
-    run(3, "euler", teacache=tc_warm)
+    if tc_thresholds:
+        coef = get_teacache_coefficients("wan2.1-t2v-1.3b")
+        # compile both TC sweep variants once
+        tc_warm = TeaCache(coef, 99, rel_l1_thresh=1e9, num_skip_start_steps=0)
+        run(3, "euler", teacache=tc_warm)
     for thr in tc_thresholds:
         tc = TeaCache(coef, full_steps, rel_l1_thresh=thr,
                       num_skip_start_steps=5)
@@ -296,7 +323,7 @@ def _fmt_psnr(row):
 
 
 def _md_tables(r):
-    ref = f"euler-{r.get('full_steps', 50)}"
+    ref = f"{r.get('ref_solver', 'euler')}-{r.get('full_steps', 50)}"
     out = [f"Geometry: {r['geometry']}; weights: {r['weights']}.\n"]
     if r.get("euler_full_wall_s") is not None:
         nf = r.get("repeat_noise_floor_psnr_latent",
@@ -340,7 +367,13 @@ def write_quality_md(docs: str) -> None:
         "",
     ]
     for fname, title in [
+        ("quality_curves_realweights_trueref.json",
+         "Real trained weights — vs the true-solution proxy"),
         ("quality_curves_realweights.json", "Real trained weights"),
+        ("quality_curves_trueref.json",
+         "Random-init weights — vs the true-solution proxy (unipc-200; "
+         "the euler-50-trajectory baseline below is scheme-biased toward "
+         "euler-reduced rows)"),
         ("quality_curves.json", "Random-init weights"),
     ]:
         path = os.path.join(docs, fname)
