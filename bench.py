@@ -348,6 +348,11 @@ def run_bench(state: BenchState):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     jax.devices()  # force backend init under the watchdog's 150 s deadline
+    if jax.default_backend() not in ("tpu",):
+        # CPU-fallback smoke: do NOT share the TPU cache dir — XLA:CPU AOT
+        # entries written on one host SIGILL/segfault when loaded after the
+        # session migrates machines (tests/conftest.py has the history)
+        jax.config.update("jax_compilation_cache_dir", None)
     state.phase_done("backend_init", backend=jax.default_backend())
 
     small = os.environ.get("BENCH_SMALL") == "1"

@@ -8,6 +8,6 @@ echo "=== [1/2] static-bound softmax A/B inside the full DiT step ==="
 timeout 1800 python scripts/bench_static_max.py
 
 echo "=== [2/2] matched-quality vs TRUE-solution proxy (unipc-200 ref) ==="
-QC_TRUE_REF=1 timeout 5400 python scripts/quality_curves.py
+QC_TRUE_REF=1 timeout 7200 python scripts/quality_curves.py
 
 echo "=== done: fold results into docs/PERF.md + docs/QUALITY.md ==="

@@ -142,8 +142,13 @@ def main():
     p = os.environ.get("JAX_PLATFORMS")
     if p:
         jax.config.update("jax_platforms", p)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/stableavatar_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    if not p or "tpu" in p or "axon" in p:
+        # persistent cache for the TPU backend only: XLA:CPU AOT entries
+        # written on another host SIGILL/segfault on load when the session
+        # migrates machines (tests/conftest.py has the full history)
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/stableavatar_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import build_models

@@ -62,6 +62,22 @@ LN2 = 0.6931471805599453
 # backward/ring consumers are unchanged.  Measured on-chip before enabling.
 EXP2_SOFTMAX = True
 
+# static-bound softmax (round-5 VPU lever, int8 path only): replace the
+# online running max with a PRECOMPUTED upper bound on each (slab, q-block)'s
+# logits — Cauchy-Schwarz on the exact int8 operands, max_rows ||q8||2 *
+# max_cols ||k8||2 * sqk, computed in one cheap XLA pass over q8/k8 (O(L*D)
+# vs the kernel's O(L^2*D)).  With a static bound the kernel drops, per
+# [BQ, BK] cell: the row-max reduction, the correction exp, and the
+# acc/l rescale multiplies — softmax(s) = exp(s - M)/sum(exp(s - M)) is
+# shift-invariant for ANY M >= rowmax, and f32 exp underflow for
+# over-bounded rows only discards mass that is e^-40-ish relative anyway.
+# LSE = M + log(l) stays exact, so backward/ring contracts are unchanged.
+# Off by default until an on-chip step measurement shows a win (project
+# rule: adopt only measured wins).
+import os as _os
+
+STATIC_MAX = _os.environ.get("STABLEAVATAR_STATIC_MAX", "0") == "1"
+
 
 # ---------------------------------------------------------------------------
 # in-kernel helpers
@@ -397,6 +413,103 @@ def _int8_fwd_body(
             lse_ref[0] = jnp.broadcast_to(m_nat + jnp.log(l), lse_ref.shape[1:])
 
 
+def _int8_fwd_body_static(
+    klens_ref,
+    sqk_ref,  # [B*N] f32 scalar-prefetch: per-(batch,head) sq*sk*scale
+    mstat_ref,  # [B*N, nq] f32 scalar-prefetch: logit upper bound per q-block
+    q8_ref,  # [1, BQ, D] int8
+    k8t_ref,  # [1, D, BK] int8 (pre-transposed)
+    v_ref,  # [1, BK, D] bf16, or int8 when v_int8
+    sv_ref,  # [1, 1, D] f32 per-channel v scales, or None
+    o_ref,  # [1, BQ, D]
+    lse_ref,  # [1, BQ, 128] or None
+    acc_ref,  # [BQ, D] f32
+    l_ref,  # [BQ, 128] f32
+    *,
+    block_k: int,
+    num_heads: int,
+    need_mask: bool,
+    v_int8: bool,
+):
+    """Static-bound softmax variant of `_int8_fwd_body` (see STATIC_MAX):
+    no running max, no correction rescales — p = exp(s - M) with M a
+    precomputed per-(slab, q-block) bound, pure accumulation of l and acc."""
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+    bh = pl.program_id(0)
+    iq = pl.program_id(1)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    s = jax.lax.dot_general(
+        q8_ref[0], k8t_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    s = s * sqk_ref[bh]
+
+    if need_mask:
+        b = bh // num_heads
+        klen = klens_ref[b]
+        col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < klen, s, NEG_INF)
+
+    exp = jnp.exp2 if EXP2_SOFTMAX else jnp.exp
+    m = mstat_ref[bh, iq]  # scalar: >= rowmax(s) by Cauchy-Schwarz
+    p = exp(s - m)
+    l_ref[:, :1] = l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+    if v_int8:
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v_ref[0].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:, :1], 1e-30)
+        out = acc_ref[:] / l
+        if v_int8:
+            out = out * sv_ref[0]
+        o_ref[0] = out.astype(o_ref.dtype)
+        if lse_ref is not None:
+            m_nat = m * LN2 if EXP2_SOFTMAX else m
+            lse_ref[0] = jnp.broadcast_to(
+                m_nat + jnp.log(l), lse_ref.shape[1:]
+            )
+
+
+def _make_int8_static_kernel(v_int8, with_lse, **kw):
+    def kernel(*refs):
+        i = 3  # refs[0]=klens, refs[1]=sqk, refs[2]=mstat (scalar prefetch)
+        q8_ref, k8t_ref, v_ref = refs[i : i + 3]
+        i += 3
+        sv_ref = None
+        if v_int8:
+            sv_ref = refs[i]
+            i += 1
+        o_ref = refs[i]
+        i += 1
+        lse_ref = None
+        if with_lse:
+            lse_ref = refs[i]
+            i += 1
+        acc_ref, l_ref = refs[i : i + 2]
+        _int8_fwd_body_static(
+            refs[0], refs[1], refs[2], q8_ref, k8t_ref, v_ref, sv_ref,
+            o_ref, lse_ref, acc_ref, l_ref, v_int8=v_int8, **kw,
+        )
+
+    return kernel
+
+
 def _make_int8_kernel(quant_pv, v_int8, with_lse, **kw):
     def kernel(*refs):
         i = 2  # refs[0]=klens, refs[1]=sqk (scalar prefetch)
@@ -434,12 +547,15 @@ def _quant_slab(x):
 
 def _flash_int8_impl(
     q, k, v, k_lens, rope, scale, block_q, block_k, quant_pv,
-    with_lse=False, v_int8=False,
+    with_lse=False, v_int8=False, static_max=False,
 ):
     """int8 forward: rope + per-slab quantization as fused XLA prep, then
     the int8 kernel.  q/k [B, L, N, D] (split-pair layout when rope given).
     v_int8 streams V as int8 + per-channel scale (halved V HBM traffic,
-    bf16 PV dot in-kernel) without quantizing P."""
+    bf16 PV dot in-kernel) without quantizing P.  static_max replaces the
+    online running max with a precomputed per-(slab, q-block) logit bound
+    (see STATIC_MAX); incompatible with quant_pv (whose int8 P needs the
+    true per-block rowmax to keep quantization error bounded)."""
     from stableavatar_tpu.ops.rope import rope_apply_split
 
     b, lq, n, d = q.shape
@@ -469,7 +585,23 @@ def _flash_int8_impl(
     q8 = q8.transpose(0, 2, 1, 3).reshape(b * n, lqp, d)
     k8t = k8.transpose(0, 2, 3, 1).reshape(b * n, d, lkp)
 
-    inputs = [k_lens.astype(jnp.int32), sqk, q8, k8t]
+    static_max = static_max and not quant_pv
+    if static_max:
+        # Cauchy-Schwarz logit bound on the EXACT int8 operands, per
+        # (slab, q-block): max_rows ||q8||2 * max_cols ||k8||2 * sqk.
+        # O(L*D) XLA prep vs the kernel's O(L^2*D); q-padding rows are
+        # zero -> bound 0, and their p = exp(0-0) = 1 rows are discarded.
+        q8f = q8.astype(jnp.float32)
+        qn = jnp.sqrt(jnp.sum(q8f * q8f, axis=2))  # [B*N, Lqp]
+        qn_blk = qn.reshape(b * n, lqp // block_q, block_q).max(axis=2)
+        k8f = k8t.astype(jnp.float32)
+        kn = jnp.sqrt(jnp.sum(k8f * k8f, axis=1)).max(axis=1)  # [B*N]
+        # sqk already carries scale (and log2e in exp2 mode), so the bound
+        # lives in the kernel's logit domain
+        mstat = sqk[:, None] * qn_blk * kn[:, None]  # [B*N, nq] f32
+        inputs = [k_lens.astype(jnp.int32), sqk, mstat, q8, k8t]
+    else:
+        inputs = [k_lens.astype(jnp.int32), sqk, q8, k8t]
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda bh, iq, ik, *_: (bh, iq, 0)),
         pl.BlockSpec((1, d, block_k), lambda bh, iq, ik, *_: (bh, 0, ik)),
@@ -506,27 +638,41 @@ def _flash_int8_impl(
         )
         out_shape.append(jax.ShapeDtypeStruct((b * n, lqp, 128), jnp.float32))
 
-    kernel = _make_int8_kernel(
-        quant_pv=quant_pv,
-        v_int8=v_int8,
-        with_lse=with_lse,
-        block_k=block_k,
-        num_heads=n,
-        need_mask=need_mask,
-    )
+    if static_max:
+        kernel = _make_int8_static_kernel(
+            v_int8=v_int8,
+            with_lse=with_lse,
+            block_k=block_k,
+            num_heads=n,
+            need_mask=need_mask,
+        )
+        scratch_shapes = [
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ]
+    else:
+        kernel = _make_int8_kernel(
+            quant_pv=quant_pv,
+            v_int8=v_int8,
+            with_lse=with_lse,
+            block_k=block_k,
+            num_heads=n,
+            need_mask=need_mask,
+        )
+        scratch_shapes = [
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ]
 
     results = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3 if static_max else 2,
             grid=(b * n, lqp // block_q, lkp // block_k),
             in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((block_q, d), jnp.float32),
-                pltpu.VMEM((block_q, 128), jnp.float32),
-                pltpu.VMEM((block_q, 128), jnp.float32),
-            ],
+            scratch_shapes=scratch_shapes,
         ),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -857,6 +1003,7 @@ def flash_attention(
     quant: str = "none",
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
+    static_max: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Flash attention: q [B, Lq, N, D], k/v [B, Lk, N, D] -> [B, Lq, N, D].
 
@@ -887,6 +1034,7 @@ def flash_attention(
         out, _ = _flash_int8_impl(
             q, k, v, k_lens, rope, float(scale), block_q, block_k,
             quant_pv=quant == "qkpv", v_int8=quant == "qkv",
+            static_max=STATIC_MAX if static_max is None else static_max,
         )
         return out
     need_mask = (k_lens is not None) or (lk % block_k != 0)
@@ -906,6 +1054,7 @@ def flash_attention_with_stats(
     quant: str = "none",
     block_q: int = 1024,
     block_k: int = 1024,
+    static_max: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward returning (out [B, Lq, N, D], lse [B, Lq, N] fp32).
 
@@ -924,6 +1073,7 @@ def flash_attention_with_stats(
         out, lse = _flash_int8_impl(
             q, k, v, k_lens, rope, float(scale), block_q, block_k,
             quant_pv=quant == "qkpv", v_int8=quant == "qkv", with_lse=True,
+            static_max=STATIC_MAX if static_max is None else static_max,
         )
     else:
         need_mask = (k_lens is not None) or (lk % block_k != 0)

@@ -23,11 +23,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
-# Separate cache dir from the on-chip one (/tmp/stableavatar_jax_cache): a
-# concurrently-running TPU bench writing the same dir segfaulted the suite
-# inside put_executable_and_time (observed twice, rc=139, round 5)
-jax.config.update("jax_compilation_cache_dir", "/tmp/stableavatar_jax_cache_cputests")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+# NO persistent compilation cache for the suite.  XLA:CPU executable
+# (de)serialization segfaulted the run four times across rounds 5A/5B
+# (rc=139: twice in put_executable_and_time, once in get_ — including on a
+# freshly-created cache dir, and at non-deterministic suite positions), and
+# AOT results written on one host crash when loaded on a machine with a
+# different AVX/AMX feature set (the session migrates hosts).  Cold compiles
+# cost a few extra minutes per run; a flaky segfault costs the whole suite.
 # fp32 parity with the torch oracles (JAX CPU matmuls default to a reduced
 # precision that costs ~3 decimal digits)
 jax.config.update("jax_default_matmul_precision", "highest")

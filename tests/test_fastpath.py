@@ -140,6 +140,49 @@ def test_flash_kernel_int8_quant_accuracy(quant):
     assert np.max(np.abs(g - w)) < 0.3
 
 
+@pytest.mark.parametrize("quant", ["qk", "qkv"])
+def test_flash_kernel_static_max_matches_online(quant):
+    """Static-bound softmax (STATIC_MAX lever) == online-max int8 kernel:
+    softmax is shift-invariant for any bound >= rowmax, so the two paths
+    must agree to float rounding; k_lens masking and LSE must also hold."""
+    from stableavatar_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(5)
+    b, lq, lk, n, d = 2, 256, 384, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, lq, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, lk, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, lk, n, d)).astype(np.float32))
+    k_lens = jnp.array([300, 384], dtype=jnp.int32)
+
+    with _interp(fa):
+        got = fa.flash_attention(
+            q, k, v, k_lens=k_lens, quant=quant, block_q=128, block_k=128,
+            static_max=True,
+        )
+        want = fa.flash_attention(
+            q, k, v, k_lens=k_lens, quant=quant, block_q=128, block_k=128,
+            static_max=False,
+        )
+        got_o, got_lse = fa.flash_attention_with_stats(
+            q, k, v, k_lens=k_lens, quant=quant, block_q=128, block_k=128,
+            static_max=True,
+        )
+        _, want_lse = fa.flash_attention_with_stats(
+            q, k, v, k_lens=k_lens, quant=quant, block_q=128, block_k=128,
+            static_max=False,
+        )
+    g, w = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    np.testing.assert_allclose(g, w, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(got_o, np.float32), g, rtol=2e-3, atol=2e-3
+    )
+    # LSE contract (backward / ring-merge input) is bound-independent
+    np.testing.assert_allclose(
+        np.asarray(got_lse, np.float32), np.asarray(want_lse, np.float32),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
 def test_flash_kernel_int8_quant_with_rope():
     """rope fusion composes with int8 quant."""
     from stableavatar_tpu.ops import flash_attention as fa
